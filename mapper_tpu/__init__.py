@@ -1,0 +1,31 @@
+"""mapper_tpu — a TPU-native read-alignment and variant-summarization engine.
+
+A from-scratch reimplementation of the capabilities of X-Mapper
+(mathjeff/Mapper 1.2.2, Java) designed TPU-first:
+
+- reference indexing uses the same deterministic, content-defined multi-scale
+  "hashblock"/"gapmer" scheme (reference: HashBlock.java, HashBlock_Database.java),
+  built host-side into flat device-ready arrays;
+- seed lookup is a vectorized gather over a packed hash table;
+- candidate extension is a penalty-bounded banded DP (reference: PathAligner.java)
+  executed as a batched Pallas TPU kernel over packed 4-bit bases;
+- variant summarization (VCF / mutations / refs-map-count) accumulates per-position
+  depth and allele counts with segment-sums.
+
+Public API (mirrors reference Api.java):
+    make_reference_index(...)  — build the index for one or more references
+    align(query, index, params) — align a single query (synchronous path)
+    AlignmentParameters         — the penalty model
+"""
+
+from mapper_tpu.align.params import AlignmentParameters
+from mapper_tpu.api import Api, ReferenceIndex
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AlignmentParameters",
+    "Api",
+    "ReferenceIndex",
+    "__version__",
+]
