@@ -1,0 +1,452 @@
+"""The hashblock index over a reference: build driver + lookup view.
+
+Equivalent of the reference's HashBlock_Database + Readable_HashBlock_Database
+(HashBlock_Database.java, Readable_HashBlock_Database.java): owns one
+PackedIndex per block size (numBasepairsUsed), hashes the reference's forward
+sequences through a target size, and supports lazy growth when a query needs
+longer blocks (requireSetUpThroughSize, java:148-215).
+
+TPU-first: the whole reference is hashed with the vectorized pyramid (one
+numpy pass per level per contig — the reference's 50kb HashJobs and
+work-stealing threads exist to parallelize its per-block object walk, which
+the vectorization replaces), and the per-size CSR arrays are directly
+device-transferable for batched gather lookups.
+
+The reference's sizing rules are ported exactly so bin layouts and counts
+match:
+  - minInterestingSize = max(log4(totalForwardSize+1) - 2, 1)   (java:52)
+  - initial max size = DuplicationDetector.chooseMaxDuplicationLength
+  - growth: maxInterestingSize = 2 * requested size               (java:192)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from mapper_tpu import basepairs
+from mapper_tpu.index import hashblock, scalar
+from mapper_tpu.index.dircache import DirCache
+from mapper_tpu.index.packedmap import (
+    PackedIndex,
+    estimate_required_capacity,
+    max_interesting_count_per_key,
+)
+from mapper_tpu.sequence import Sequence, SequenceDatabase
+
+_INT_MAX = 2**31 - 1
+
+
+def log2_round_up(x: int) -> int:
+    """Bits needed to encode x distinct values (QuickVariants
+    SequenceDatabase.log2RoundUp, used by DuplicationDetector.java:18)."""
+    if x <= 1:
+        return 1
+    return (x - 1).bit_length()
+
+
+def choose_min_duplication_length(seq_db: SequenceDatabase) -> int:
+    """DuplicationDetector.chooseMinDuplicationLength (java:17-31)."""
+    return log2_round_up(seq_db.get_total_forward_size())
+
+
+def choose_max_duplication_length(seq_db: SequenceDatabase) -> int:
+    return choose_min_duplication_length(seq_db) * 2
+
+
+class HashBlockDatabase:
+    """Per-size packed hash indexes over the reference's forward sequences."""
+
+    def __init__(
+        self,
+        sequence_database: SequenceDatabase,
+        min_interesting_size: int = -1,
+        hint_max_interesting_size: int = -1,
+        max_num_short_matches: int = -1,
+        enable_gapmers: bool = True,
+        cache_dir: str | DirCache | None = None,
+    ):
+        self.sequence_database = sequence_database
+        self.enable_gapmers = enable_gapmers
+        self.total_forward_size = sequence_database.get_total_forward_size()
+
+        if min_interesting_size <= 0:
+            # (int)max(log(total+1)/log(4) - 2, 1)   (HashBlock_Database.java:52)
+            self.min_interesting_size = int(
+                max(math.log(self.total_forward_size + 1) / math.log(4) - 2, 1)
+            )
+        else:
+            self.min_interesting_size = min_interesting_size
+
+        if max_num_short_matches < 0:
+            self.max_num_short_matches = 5  # java:84
+        else:
+            self.max_num_short_matches = max_num_short_matches
+
+        if hint_max_interesting_size > 0:
+            initial_max = hint_max_interesting_size
+        else:
+            initial_max = choose_max_duplication_length(sequence_database)
+
+        self.maps: dict[int, PackedIndex] = {}
+        self.max_fully_set_up_size = 0
+
+        if isinstance(cache_dir, str):
+            cache_dir = DirCache(cache_dir)
+        self._dir_cache = cache_dir
+        self._cache_content_dir: str | None = None
+        if cache_dir is not None:
+            keys = dict(sequence_database.get_cache_keys())
+            keys.update(
+                {
+                    "enableGapmers": str(self.enable_gapmers),
+                    "minInterestingSize": str(self.min_interesting_size),
+                    "maxNumShortMatches": str(self.max_num_short_matches),
+                    "formatVersion": "2",
+                    "type": "HashBlock_Database",
+                }
+            )
+            self._cache_content_dir = cache_dir.get_or_create_dir(keys)
+
+        # sequence metadata arrays for vectorized position transforms
+        seqs = sequence_database.get_all()
+        self._seq_lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+        rc = np.full(len(seqs), -1, dtype=np.int64)
+        for i, seq in enumerate(seqs):
+            try:
+                rc[i] = sequence_database.index_of(sequence_database.get_reverse_complement(seq))
+            except KeyError:
+                pass
+        self._rc_index = rc
+
+        self._hash_through(initial_max)
+
+    # --- public sizing accessors ----------------------------------------
+
+    def get_min_interesting_size(self) -> int:
+        return self.min_interesting_size
+
+    def get_hashed_length(self) -> int:
+        return self.max_fully_set_up_size
+
+    def get_sequence_database(self) -> SequenceDatabase:
+        return self.sequence_database
+
+    def get_enable_gapmers(self) -> bool:
+        return self.enable_gapmers
+
+    def get_original_sequence(self, sequence: Sequence) -> Sequence:
+        return sequence  # HashBlock_Database doesn't modify sequences (java:124-127)
+
+    def get_hashblock_database(self):
+        return self  # ReferenceProvider interface (java:116-118)
+
+    # --- build -----------------------------------------------------------
+
+    def require_set_up_through_size(self, size: int) -> None:
+        """Lazy growth (HashBlock_Database.requireSetUpThroughSize +
+        chooseNextHashSize, java:148-215): hash through 2x the requested size."""
+        if size <= self.max_fully_set_up_size:
+            return
+        self._hash_through(size * 2)
+
+    def _cache_file(self, size: int) -> str | None:
+        if self._cache_content_dir is None:
+            return None
+        return os.path.join(self._cache_content_dir, f"length-{size}.npz")
+
+    def _hash_through(self, max_size: int) -> None:
+        """Hash all forward sequences, storing gapmers with numBasepairsUsed in
+        (max_fully_set_up_size, max_size]."""
+        lo = self.max_fully_set_up_size
+        if max_size <= lo:
+            return
+
+        # try to load the new sizes from the cache; stop at the first miss
+        # (HashBlock_Database.chooseNextHashSize/helpLoadOnce, java:196-334)
+        loaded_through = lo
+        all_loaded = True
+        pending: dict[int, PackedIndex] = {}
+        for size in range(max(self.min_interesting_size, lo + 1), max_size + 1):
+            path = self._cache_file(size)
+            if path is None or not os.path.exists(path):
+                all_loaded = False
+                break
+            try:
+                pending[size] = PackedIndex.load(path)
+                loaded_through = size
+            except Exception:
+                all_loaded = False
+                break
+        if all_loaded:
+            self.maps.update(pending)
+            for size in range(lo + 1, max_size + 1):
+                if size not in self.maps:
+                    self.maps[size] = PackedIndex.empty(size)
+            self.max_fully_set_up_size = max_size
+            return
+
+        by_size_keys: dict[int, list[np.ndarray]] = {}
+        by_size_positions: dict[int, list[np.ndarray]] = {}
+        by_size_amb: dict[int, list[np.ndarray]] = {}
+
+        for seq in self.sequence_database.get_forward_sequences_only():
+            self._hash_sequence(seq, lo, max_size, by_size_keys, by_size_positions, by_size_amb)
+
+        for size in range(lo + 1, max_size + 1):
+            if size in by_size_keys:
+                keys = np.concatenate(by_size_keys[size])
+                positions = np.concatenate(by_size_positions[size])
+                amb = np.concatenate(by_size_amb[size])
+                capacity = estimate_required_capacity(
+                    size, self.total_forward_size, self.enable_gapmers
+                )
+                cap = max_interesting_count_per_key(size, self.max_num_short_matches)
+                self.maps[size] = PackedIndex.build(
+                    size, keys, positions, capacity, cap, dedup_mask=amb
+                )
+            else:
+                self.maps[size] = PackedIndex.empty(size)
+            path = self._cache_file(size)
+            if path is not None and size >= self.min_interesting_size:
+                self.maps[size].save(path)
+        self.max_fully_set_up_size = max_size
+
+    def _hash_sequence(
+        self,
+        seq: Sequence,
+        lo: int,
+        hi: int,
+        by_size_keys: dict[int, list[np.ndarray]],
+        by_size_positions: dict[int, list[np.ndarray]],
+        by_size_amb: dict[int, list[np.ndarray]],
+    ) -> None:
+        codes = seq.codes
+        seq_start = self.sequence_database.encode_position(seq, 0)
+        rc_seq = self.sequence_database.get_reverse_complement(seq)
+        rc_start = self.sequence_database.encode_position(rc_seq, 0)
+        n = len(seq)
+
+        has_ambiguity = bool(np.any(basepairs.TWO_BIT_TABLE[codes] < 0))
+        if not has_ambiguity:
+            prefixes = hashblock.GapmerPrefixes(codes)
+            for row in hashblock.build_pyramid(codes):
+                if len(row) == 0 or row.min_length() > hi:
+                    break
+                if self.enable_gapmers:
+                    g = hashblock.expand_gapmers(row, prefixes)
+                    num_bp = g.num_basepairs_used
+                    fwd, rev = g.fwd, g.rev
+                    primary, secondary = g.primary, g.secondary
+                    start, length = g.start, g.length
+                else:
+                    num_bp = row.length
+                    fwd, rev = row.fwd, row.rev
+                    flags_differ = row.req_l != row.req_r
+                    primary = np.where(flags_differ, row.req_l, fwd >= rev)
+                    secondary = np.where(flags_differ, row.req_r, fwd <= rev)
+                    start, length = row.start, row.length
+                keep = (
+                    (num_bp >= self.min_interesting_size)
+                    & (num_bp > lo)
+                    & (num_bp <= hi)
+                )
+                if not np.any(keep):
+                    continue
+                self._emit(
+                    num_bp[keep],
+                    fwd[keep],
+                    rev[keep],
+                    primary[keep],
+                    secondary[keep],
+                    start[keep],
+                    length[keep],
+                    np.zeros(int(keep.sum()), dtype=bool),
+                    seq_start,
+                    rc_start,
+                    n,
+                    by_size_keys,
+                    by_size_positions,
+                    by_size_amb,
+                )
+        else:
+            # scalar fallback for sequences containing ambiguity codes
+            entries = []  # (num_bp, fwd, rev, primary, secondary, start, length, amb)
+            for row in scalar.scalar_pyramid(codes):
+                if not row:
+                    break
+                min_len = min(
+                    (b.length for b, _ in scalar.iter_concrete_blocks(row)), default=1 << 30
+                )
+                if min_len > hi:
+                    break
+                for block, is_conditional in scalar.iter_concrete_blocks(row):
+                    g = block.with_gap_and_extension(codes) if self.enable_gapmers else block
+                    if g is None:
+                        continue
+                    if not (self.min_interesting_size <= g.num_basepairs_used <= hi):
+                        continue
+                    if g.num_basepairs_used <= lo:
+                        continue
+                    entries.append(
+                        (
+                            g.num_basepairs_used,
+                            g.fwd,
+                            g.rev,
+                            g.is_primary_polarity(),
+                            g.is_secondary_polarity(),
+                            g.start,
+                            g.length,
+                            is_conditional,
+                        )
+                    )
+            if entries:
+                arr = np.array(entries, dtype=np.int64)
+                self._emit(
+                    arr[:, 0],
+                    arr[:, 1],
+                    arr[:, 2],
+                    arr[:, 3].astype(bool),
+                    arr[:, 4].astype(bool),
+                    arr[:, 5],
+                    arr[:, 6],
+                    arr[:, 7].astype(bool),
+                    seq_start,
+                    rc_start,
+                    n,
+                    by_size_keys,
+                    by_size_positions,
+                    by_size_amb,
+                )
+
+    @staticmethod
+    def _append(store: dict, size_arr, value_arr) -> None:
+        sizes, inverse = np.unique(size_arr, return_inverse=True)
+        for k, size in enumerate(sizes.tolist()):
+            store.setdefault(size, []).append(value_arr[inverse == k])
+
+    def _emit(
+        self,
+        num_bp,
+        fwd,
+        rev,
+        primary,
+        secondary,
+        start,
+        length,
+        amb,
+        seq_start: int,
+        rc_start: int,
+        n: int,
+        by_size_keys,
+        by_size_positions,
+        by_size_amb,
+    ) -> None:
+        """Dual-polarity insert (PackedMap.process, java:99-122): primary at the
+        forward position with the forward hash, secondary at the
+        reverse-complement position with the reverse hash."""
+        sizes_all = []
+        keys_all = []
+        pos_all = []
+        amb_all = []
+        if np.any(primary):
+            sizes_all.append(num_bp[primary])
+            keys_all.append(fwd[primary])
+            pos_all.append(seq_start + start[primary])
+            amb_all.append(amb[primary])
+        if np.any(secondary):
+            sizes_all.append(num_bp[secondary])
+            keys_all.append(rev[secondary])
+            # RC position: rcStart + (n - blockEnd)   (PackedMap.java:113-117)
+            pos_all.append(rc_start + n - (start[secondary] + length[secondary]))
+            amb_all.append(amb[secondary])
+        if not sizes_all:
+            return
+        sizes_cat = np.concatenate(sizes_all)
+        keys_cat = np.concatenate(keys_all)
+        pos_cat = np.concatenate(pos_all)
+        amb_cat = np.concatenate(amb_all)
+        self._append(by_size_keys, sizes_cat, keys_cat)
+        self._append(by_size_positions, sizes_cat, pos_cat)
+        self._append(by_size_amb, sizes_cat, amb_cat)
+
+    # --- lookup (Readable_HashBlock_Database equivalents) ----------------
+
+    def _map_for(self, num_basepairs_used: int) -> PackedIndex | None:
+        if num_basepairs_used > self.max_fully_set_up_size:
+            self.require_set_up_through_size(num_basepairs_used)
+        return self.maps.get(num_basepairs_used)
+
+    def num_matches_lower_bound(self, num_bp: int, lookup_key: int) -> int:
+        """Readable_HashBlock_Database.getNumMatchesLowerBound (java:72-80)."""
+        if num_bp < self.min_interesting_size:
+            return _INT_MAX
+        m = self._map_for(num_bp)
+        if m is None:
+            return _INT_MAX
+        return int(m.num_matches_lower_bound(lookup_key))
+
+    def get_max_num_matches_allowed(self, num_bp: int) -> int:
+        """Readable_HashBlock_Database.getMaxNumMatchesAllowed (java:82-90)."""
+        if num_bp < self.min_interesting_size:
+            return -1
+        m = self._map_for(num_bp)
+        if m is None:
+            return 0
+        return m.max_interesting_count
+
+    def match_block(
+        self, num_bp: int, length: int, lookup_key: int, primary: bool
+    ) -> np.ndarray | None:
+        """Positions where a block matches (Readable_HashBlock_Database
+        .matchBlock, java:19-38), as encoded global positions.  For secondary-
+        polarity blocks, results are mapped to the reverse-complement strand
+        using the block's total length."""
+        if num_bp < self.min_interesting_size:
+            return None
+        m = self._map_for(num_bp)
+        if m is None:
+            return np.zeros(0, dtype=np.int64)
+        results = m.get(lookup_key)
+        if results is None:
+            return None
+        if not primary and len(results):
+            results = self.reverse_complement_positions(results, length)
+        return results
+
+    def reverse_complement_positions(self, encoded: np.ndarray, block_length: int) -> np.ndarray:
+        """Map encoded positions to the opposite strand
+        (Readable_HashBlock_Database.reverseComplement, java:55-59)."""
+        seq_idx, offsets = self.sequence_database.decode_positions(encoded)
+        rc_idx = self._rc_index[seq_idx]
+        if np.any(rc_idx < 0):
+            raise KeyError("sequence without registered reverse complement")
+        rc_offsets = self._seq_lengths[seq_idx] - offsets - block_length
+        return self.sequence_database.starts[rc_idx] + rc_offsets
+
+    def lookup_by_forward_hash(self, num_bp: int, bin_index: int) -> np.ndarray | None:
+        """All positions in one bin plus their reverse complements
+        (Readable_HashBlock_Database.lookupByForwardHash, java:41-52; used by
+        the duplication scan)."""
+        m = self._map_for(num_bp)
+        if m is None:
+            return None
+        forward = m.get_bin(bin_index)
+        if forward is None:
+            return None
+        if len(forward) == 0:
+            return forward
+        reverse = self.reverse_complement_positions(forward, num_bp)
+        return np.concatenate([forward, reverse])
+
+    def get_num_hash_keys(self, num_bp: int) -> int:
+        m = self._map_for(num_bp)
+        return 0 if m is None else m.capacity
+
+    def verify_matches(self, other: "HashBlockDatabase") -> None:
+        """Determinism audit (HashBlock_Database.verifyMatches, java:468-475)."""
+        other.require_set_up_through_size(self.max_fully_set_up_size)
+        for size in range(self.min_interesting_size, self.max_fully_set_up_size + 1):
+            self.maps[size].verify_matches(other.maps[size])
