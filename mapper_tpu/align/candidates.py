@@ -1,0 +1,781 @@
+"""Candidate generation: the adaptive hashblock path and offset voting.
+
+Faithful port of the query-side search of the reference:
+
+- HashBlockPath (HashBlockPath.java): walks the query's pyramid picking blocks
+  whose gapmer has a useful number of index matches — too few (<6) move down to
+  smaller blocks, too many move up to larger, otherwise move right.
+- Counting_HashBlockPath (Counting_HashBlockPath.java): for every interesting
+  block match, a cheap +-20bp sampling check rejects hash collisions, matches
+  on reverse-strand contigs are re-expressed as (reverse-complement query vs
+  forward contig), and evidence accrues to per-(strand, contig, offset)
+  counters with neighbor links within half the maximum plausible indel length.
+- HashBlockPaths_Counter (HashBlockPaths_Counter.java): combines 1-2 component
+  paths into QueryMatches; for pairs, candidates are bucketed by strand and
+  joined within the spacing window.
+
+This is the per-query sequential control path; the TPU batch pipeline replaces
+the inner loops (index lookup -> gather, voting -> segment-sum) while this
+module remains the semantic reference.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mapper_tpu import basepairs
+from mapper_tpu.index import scalar
+from mapper_tpu.index.database import HashBlockDatabase
+from mapper_tpu.index.hashblock import max_gapmer_num_basepairs_used
+from mapper_tpu.sequence import Sequence, SequenceDatabase
+
+USUAL_MATCHES_BEFORE_INVESTIGATING = 1  # Counting_HashBlockPath.java:18
+_INT_MAX = 2**31 - 1
+
+
+class QueryPyramid:
+    """Lazy pyramid over a query sequence using the scalar object model (query
+    rows are short; the production batch path vectorizes this wholesale)."""
+
+    def __init__(self, sequence: Sequence):
+        self.sequence = sequence
+        self.rows: list[list[scalar.Slot]] = [scalar.scalar_base_row(sequence.codes)]
+
+    def get(self, level: int) -> list[scalar.Slot]:
+        while len(self.rows) <= level:
+            self.rows.append(scalar.scalar_merge_row(self.rows[-1]))
+        return self.rows[level]
+
+
+def _slot_start(slot: scalar.Slot) -> int:
+    if isinstance(slot, scalar.ScalarHashBlock):
+        return slot.start
+    return slot.start
+
+
+def _row_get_after(row: list[scalar.Slot], position: int) -> scalar.Slot | None:
+    """First slot with start > position (HashBlock_Row.getAfter)."""
+    lo, hi = 0, len(row)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _slot_start(row[mid]) > position:
+            hi = mid
+        else:
+            lo = mid + 1
+    return row[lo] if lo < len(row) else None
+
+
+def _row_get(row: list[scalar.Slot], position: int) -> scalar.Slot | None:
+    slot = _row_get_after(row, position - 1)
+    if slot is not None and _slot_start(slot) == position:
+        return slot
+    return None
+
+
+class HashBlockPath:
+    """HashBlockPath.java: adaptive walk emitting interesting gapmers."""
+
+    def __init__(self, pyramid: QueryPyramid, database: HashBlockDatabase, query: Sequence):
+        self.pyramid = pyramid
+        self.database = database
+        self.query = query
+        self.batch_index = -1
+        self.current: scalar.Slot | None = scalar.ScalarHashBlock(0, 0)
+        self.current_gapmer: scalar.ScalarHashBlock | None = None
+        self.current_gapmer_computed = False
+        self.prev_interesting: scalar.ScalarHashBlock | None = None
+        self.prev_prev_interesting: scalar.ScalarHashBlock | None = None
+
+    # --- navigation (java:99-140) ----------------------------------------
+
+    def _move_down(self) -> None:
+        self.batch_index -= 1
+        start = _slot_start(self.current)
+        self.current = _row_get_after(self.pyramid.get(self.batch_index), start)
+        self._clear_gapmer()
+
+    def _move_up_or_right(self) -> None:
+        left = self.current.getSingle() if hasattr(self.current, "getSingle") else self.current
+        start = _slot_start(self.current)
+        up = _row_get(self.pyramid.get(self.batch_index + 1), start)
+        if up is not None and _slot_start(up) <= start:
+            self.batch_index += 1
+            self.current = up
+            self._clear_gapmer()
+        else:
+            self._move_right()
+
+    def _move_right(self) -> None:
+        self.current = _row_get_after(
+            self.pyramid.get(self.batch_index), _slot_start(self.current)
+        )
+        self._clear_gapmer()
+
+    def _clear_gapmer(self) -> None:
+        self.current_gapmer = None
+        self.current_gapmer_computed = False
+
+    def _skip_multiblocks(self) -> None:
+        while True:
+            if self.current is None or isinstance(self.current, scalar.ScalarHashBlock):
+                return
+            if self.batch_index > 0:
+                self._move_down()
+            else:
+                self._move_right()
+
+    def _with_gap(self) -> scalar.ScalarHashBlock | None:
+        if not self.database.get_enable_gapmers():
+            return self.current
+        if not self.current_gapmer_computed:
+            self.current_gapmer = self.current.with_gap_and_extension(self.query.codes)
+            self.current_gapmer_computed = True
+        return self.current_gapmer
+
+    # --- match-count thresholds (java:205-223) ----------------------------
+
+    def _max_num_matches_allowed(self, block: scalar.ScalarHashBlock) -> int:
+        if block.length >= len(self.query) // 6:
+            return self.database.get_max_num_matches_allowed(block.num_basepairs_used)
+        if block.req_r:
+            return 5
+        return block.num_basepairs_used + 1
+
+    def _num_matches_lower_bound(self, block: scalar.ScalarHashBlock) -> int:
+        return self.database.num_matches_lower_bound(
+            block.num_basepairs_used, block.lookup_key()
+        )
+
+    # --- stepping (java:143-195) ------------------------------------------
+
+    def _advance_to_next_position(self) -> scalar.ScalarHashBlock | None:
+        single = (
+            self.current if isinstance(self.current, scalar.ScalarHashBlock) else None
+        )
+        enable_gapmers = self.database.get_enable_gapmers()
+        if (
+            single is not None
+            and enable_gapmers
+            and max_gapmer_num_basepairs_used(single.length)
+            < self.database.get_min_interesting_size()
+        ):
+            self._move_up_or_right()
+        else:
+            extended = self._with_gap()
+            if extended is not None:
+                num_matches = self._num_matches_lower_bound(extended)
+                if num_matches < 6:
+                    if self.batch_index > 0:
+                        self._move_down()
+                    else:
+                        self._move_right()
+                elif num_matches > self._max_num_matches_allowed(extended):
+                    self._move_up_or_right()
+                else:
+                    self._move_right()
+            else:
+                typical = single.length * 3 // 2
+                if typical <= self.database.get_min_interesting_size() and enable_gapmers:
+                    self._move_up_or_right()
+                else:
+                    if self.batch_index > 0:
+                        self._move_down()
+                    else:
+                        self._move_right()
+        self._skip_multiblocks()
+        if self.current is None:
+            return None
+        return self.current
+
+    def _get_next_block_with_good_number_of_matches(self) -> scalar.ScalarHashBlock | None:
+        while True:
+            nxt = self._advance_to_next_position()
+            if nxt is None:
+                return None
+            extended = self._with_gap()
+            if extended is None:
+                continue
+            if self._num_matches_lower_bound(extended) > self._max_num_matches_allowed(
+                extended
+            ):
+                continue
+            return extended
+
+    def _recently_seen(self, block: scalar.ScalarHashBlock) -> bool:
+        result = False
+        if self.prev_interesting is not None and block.fwd == self.prev_interesting.fwd:
+            result = True
+        elif (
+            self.prev_prev_interesting is not None
+            and block.fwd == self.prev_prev_interesting.fwd
+        ):
+            result = True
+        self.prev_prev_interesting = self.prev_interesting
+        self.prev_interesting = block
+        return result
+
+    def get_next_interesting_block(self) -> scalar.ScalarHashBlock | None:
+        if self.current is None:
+            return None
+        while True:
+            result = self._get_next_block_with_good_number_of_matches()
+            if result is None:
+                return None
+            if self._recently_seen(result):
+                continue
+            return result
+
+
+@dataclass
+class SequenceMatch:
+    """SequenceMatch.java: query sequence A matches contig B at an offset."""
+
+    sequence_a: Sequence
+    sequence_b: Sequence
+    offset: int
+    from_hashblock_match: bool = True
+
+    @property
+    def start_index_b(self) -> int:
+        return max(0, self.offset)
+
+    @property
+    def end_index_b(self) -> int:
+        return min(self.offset + len(self.sequence_a), len(self.sequence_b))
+
+    @property
+    def reversed(self) -> bool:
+        return self.sequence_a.complemented_from is not None
+
+    def same_as(self, other: "SequenceMatch") -> bool:
+        return (
+            self.offset == other.offset
+            and self.sequence_a is other.sequence_a
+            and self.sequence_b is other.sequence_b
+        )
+
+    def summarize_position_b(self) -> str:
+        return f"{self.sequence_b.name} offset {self.offset}"
+
+
+class MatchCounter:
+    """HashBlockMatch_Counter.java: evidence for one (strand, contig, offset)."""
+
+    __slots__ = (
+        "match",
+        "history",
+        "num_matches",
+        "num_distinct_mismatches",
+        "last_mismatched_position",
+        "last_matched_block",
+        "history_index",
+        "good",
+        "priority",
+        "prev_counter",
+        "next_counter",
+    )
+
+    def __init__(self, match: SequenceMatch, history: list, initial_mismatches: int, last_pos: int):
+        self.match = match
+        self.history = history
+        self.num_matches = 0
+        self.num_distinct_mismatches = initial_mismatches
+        self.last_mismatched_position = last_pos
+        self.last_matched_block = None
+        self.history_index = len(history) - 1
+        self.good = False
+        self.priority = 0
+        self.prev_counter: MatchCounter | None = None
+        self.next_counter: MatchCounter | None = None
+
+    def add_match(self, block) -> None:
+        self.num_matches += 1
+        self.last_matched_block = block
+
+    def update(self) -> None:
+        while self.history_index < len(self.history):
+            block = self.history[self.history_index]
+            if block is not self.last_matched_block:
+                if block.start >= self.last_mismatched_position:
+                    if self.match.offset + block.end <= len(self.match.sequence_b):
+                        self.num_distinct_mismatches += 1
+                        self.last_mismatched_position = block.end
+            self.history_index += 1
+
+    def get_num_distinct_mismatches(self) -> int:
+        self.update()
+        return self.num_distinct_mismatches
+
+    def set_good(self) -> None:
+        self.good = True
+        self.priority = self.get_num_distinct_mismatches()
+
+
+class CountingHashBlockPath:
+    """Counting_HashBlockPath.java: step the path, vote offsets."""
+
+    def __init__(
+        self,
+        database: HashBlockDatabase,
+        query: Sequence,
+        params,
+        name: str = "seq",
+    ):
+        self.database = database
+        self.seq_db: SequenceDatabase = database.get_sequence_database()
+        self.query = query
+        self.reverse_complement_query = query.reverse_complement()
+        self.name = name
+        self.pyramid = QueryPyramid(query)
+        self.path = HashBlockPath(self.pyramid, database, query)
+        max_possible_indel = int(
+            (len(query) * params.max_error_rate - params.deletion_start_penalty)
+            / params.deletion_extension_penalty
+        )
+        self.max_indel_length_to_consider = max_possible_indel // 2
+        # {(reversed, id(ref_seq)): sorted offsets list + dict offset->counter}
+        self.counters: dict[tuple[bool, int], tuple[list[int], dict[int, MatchCounter]]] = {}
+        self.ref_by_key: dict[tuple[bool, int], Sequence] = {}
+        self.good_counters: list[MatchCounter] = []
+        self.found_good_counter = False
+        self.history: list = []
+        self.num_blocks_matching_anywhere = 0
+        self.num_match_counters = 0
+        self.max_nonoverlapping_block_visited = 0
+        self.num_nonoverlapping_blocks_visited = 0
+        self.min_num_distinct_mismatches = -1
+        self.done = False
+        self.pending_blocks: list = []
+        self._prev_high_priority: list[MatchCounter] | None = None
+        self._all_positions_memo: list[MatchCounter] | None = None
+
+    # --- block feed (java:344-384) ----------------------------------------
+
+    def _get_next_interesting_block(self):
+        self._all_positions_memo = None
+        while True:
+            block = self.path.get_next_interesting_block()
+            if block is None:
+                if not self.pending_blocks:
+                    return None
+                return self.pending_blocks.pop(0)
+            if block.start < self.max_nonoverlapping_block_visited:
+                self.pending_blocks.append(block)
+                continue
+            return block
+
+    def step(self) -> bool:
+        """Advance one interesting block; returns False when exhausted
+        (java:40-179)."""
+        if self.done:
+            return False
+        while True:
+            block = self._get_next_interesting_block()
+            if block is None:
+                self.done = True
+                if self.num_blocks_matching_anywhere < USUAL_MATCHES_BEFORE_INVESTIGATING:
+                    self.try_ensure_good_match_counter()
+                return False
+            matches = self.database.match_block(
+                block.num_basepairs_used,
+                block.length,
+                block.lookup_key(),
+                block.is_primary_polarity(),
+            )
+            if matches is None:
+                continue
+            break
+
+        self.history.append(block)
+        num_block_matches = len(matches)
+        if num_block_matches:
+            seq_idx, offsets = self.seq_db.decode_positions(matches)
+            concat = self.seq_db.concatenated_codes()
+            for k in range(num_block_matches):
+                ref_seq = self.seq_db.get_sequence(int(seq_idx[k]))
+                ref_start = int(offsets[k])
+                if not self._passes_collision_check(block, ref_seq, ref_start):
+                    continue
+                if ref_seq.complemented_from is not None:
+                    forward_ref = ref_seq.complemented_from
+                    rev_query_block_start = len(self.query) - block.end
+                    rev_ref_block_start = len(ref_seq) - (ref_start + block.length)
+                    offset = rev_ref_block_start - rev_query_block_start
+                    full_match = SequenceMatch(
+                        self.reverse_complement_query, forward_ref, offset
+                    )
+                else:
+                    full_match = SequenceMatch(self.query, ref_seq, ref_start - block.start)
+                self._update_matches(full_match, block, num_block_matches)
+
+        if block.start >= self.max_nonoverlapping_block_visited:
+            self.max_nonoverlapping_block_visited = block.end
+            self.num_nonoverlapping_blocks_visited += 1
+        self.num_blocks_matching_anywhere += 1
+        self.min_num_distinct_mismatches = -1
+        return True
+
+    def _passes_collision_check(
+        self, block: scalar.ScalarHashBlock, ref_seq: Sequence, ref_start: int
+    ) -> bool:
+        """The +-20bp sampling check rejecting hash collisions (java:95-153)."""
+        q = self.query.codes
+        r = ref_seq.codes
+        n_mismatch = 0
+        n_match = 0
+        for distance in range(1, 20):
+            for check_offset in (-distance, block.length - 1 + distance):
+                qi = block.start + check_offset
+                if 0 <= qi < q.shape[0]:
+                    ri = ref_start + check_offset
+                    if 0 <= ri < r.shape[0]:
+                        if not basepairs.can_match(q[qi], r[ri]):
+                            n_mismatch += 1
+                        else:
+                            n_match += 1
+            if n_match < n_mismatch:
+                break
+            if n_match >= n_mismatch + block.num_basepairs_used:
+                break
+        return n_mismatch <= n_match
+
+    def _update_matches(
+        self, match: SequenceMatch, block: scalar.ScalarHashBlock, num_block_matches: int
+    ) -> None:
+        """Counting_HashBlockPath.updateMatches (java:193-252)."""
+        key = (match.reversed, id(match.sequence_b))
+        if key not in self.counters:
+            self.counters[key] = ([], {})
+            self.ref_by_key[key] = match.sequence_b
+        offsets_sorted, by_offset = self.counters[key]
+        offset = match.offset
+
+        counter = by_offset.get(offset)
+        if counter is None:
+            counter = MatchCounter(
+                match,
+                self.history,
+                self.num_nonoverlapping_blocks_visited,
+                block.start,
+            )
+            self.num_match_counters += 1
+            i = bisect.bisect_left(offsets_sorted, offset)
+            # link neighbors within the indel window (java:214-233)
+            if i > 0:
+                prev_off = offsets_sorted[i - 1]
+                if abs(prev_off - offset) <= self.max_indel_length_to_consider:
+                    prev_counter = by_offset[prev_off]
+                    counter.prev_counter = prev_counter
+                    prev_counter.next_counter = counter
+            if i < len(offsets_sorted):
+                next_off = offsets_sorted[i]
+                if abs(next_off - offset) <= self.max_indel_length_to_consider:
+                    next_counter = by_offset[next_off]
+                    counter.next_counter = next_counter
+                    next_counter.prev_counter = counter
+            offsets_sorted.insert(i, offset)
+            by_offset[offset] = counter
+
+        if counter.prev_counter is not None:
+            self._add_match(match, block, counter.prev_counter, num_block_matches)
+        if counter.next_counter is not None:
+            self._add_match(match, block, counter.next_counter, num_block_matches)
+        update_this_one = True
+        if (counter.prev_counter is not None and counter.prev_counter.good) or (
+            counter.next_counter is not None and counter.next_counter.good
+        ):
+            if not counter.good:
+                update_this_one = False
+        if update_this_one:
+            self._add_match(match, block, counter, num_block_matches)
+
+    def _add_match(
+        self,
+        match: SequenceMatch,
+        block: scalar.ScalarHashBlock,
+        counter: MatchCounter,
+        num_block_matches: int,
+    ) -> None:
+        counter.add_match(block)
+        counter.update()
+        if counter.num_matches == USUAL_MATCHES_BEFORE_INVESTIGATING:
+            self.found_good_counter = True
+            self._declare_good(counter)
+
+    def _declare_good(self, counter: MatchCounter) -> None:
+        if not counter.good:
+            self.good_counters.append(counter)
+            counter.set_good()
+
+    def try_ensure_good_match_counter(self) -> None:
+        """java:291-308: for tiny queries, declare everything good."""
+        if not self.found_good_counter and self.num_match_counters <= len(self.query):
+            for offsets_sorted, by_offset in self.counters.values():
+                for counter in by_offset.values():
+                    self._declare_good(counter)
+            self.found_good_counter = True
+
+    # --- queries over the counters ----------------------------------------
+
+    def find_good_positions_having_priority_up_to(self, priority: int) -> list[MatchCounter]:
+        while True:
+            if (
+                self.num_nonoverlapping_blocks_visited
+                >= priority + USUAL_MATCHES_BEFORE_INVESTIGATING
+            ):
+                break
+            if not self.step():
+                break
+        if self._prev_high_priority is not None and len(self._prev_high_priority) == len(
+            self.good_counters
+        ):
+            return self._prev_high_priority
+        matches = [c for c in self.good_counters if c.priority <= priority]
+        self._prev_high_priority = matches
+        return matches
+
+    def get_all_positions(self) -> list[MatchCounter]:
+        if self._all_positions_memo is None:
+            results: list[MatchCounter] = []
+            for offsets_sorted, by_offset in self.counters.values():
+                for off in offsets_sorted:
+                    results.append(by_offset[off])
+            self._all_positions_memo = results
+        return self._all_positions_memo
+
+    def get_num_blocks(self) -> int:
+        return self.num_blocks_matching_anywhere
+
+    def _get_num_good_distinct_mismatches(self) -> int:
+        if self.min_num_distinct_mismatches < 0:
+            minimum = self.num_nonoverlapping_blocks_visited - 1
+            for counter in self.good_counters:
+                count = counter.get_num_distinct_mismatches()
+                if minimum >= count:
+                    minimum = count
+            self.min_num_distinct_mismatches = minimum
+        return self.min_num_distinct_mismatches
+
+    def get_best_matches(self) -> list[MatchCounter]:
+        if self.num_blocks_matching_anywhere < USUAL_MATCHES_BEFORE_INVESTIGATING:
+            return []
+        minimum = self._get_num_good_distinct_mismatches()
+        return [
+            c for c in self.good_counters if c.get_num_distinct_mismatches() <= minimum
+        ]
+
+    def is_done(self) -> bool:
+        return self.done
+
+
+@dataclass
+class QueryMatch:
+    """QueryMatch.java: 1-2 SequenceMatches + priority + order hint."""
+
+    components: list[SequenceMatch]
+    priority: int
+    hint_forward_order: bool = True
+
+    def get_num_sequences(self) -> int:
+        return len(self.components)
+
+    def get_component(self, i: int) -> SequenceMatch:
+        return self.components[i]
+
+    def get_query_total_length(self) -> int:
+        return sum(len(m.sequence_a) for m in self.components)
+
+    def get_start_index_b(self) -> int:
+        return min(self.components[0].start_index_b, self.components[-1].start_index_b)
+
+    def get_end_index_b(self) -> int:
+        return max(self.components[0].start_index_b, self.components[-1].start_index_b)
+
+    def get_total_distance_between_components(self) -> int:
+        """QueryMatch.getTotalDistanceBetweenComponents (java:70-79)."""
+        total = 0
+        prev = self.components[0]
+        reversed_ = self.components[0].reversed
+        for i in range(1, len(self.components)):
+            cur = self.components[i]
+            if prev.sequence_b is not cur.sequence_b:
+                return _INT_MAX
+            if reversed_:
+                total += prev.start_index_b - cur.end_index_b
+            else:
+                total += cur.start_index_b - prev.end_index_b
+            prev = cur
+        return total
+
+    def same_position(self, other: "QueryMatch") -> bool:
+        if len(self.components) != len(other.components):
+            return False
+        return all(
+            a.same_as(b) for a, b in zip(self.components, other.components)
+        )
+
+    def summarize_position_b(self) -> str:
+        return " / ".join(c.summarize_position_b() for c in self.components)
+
+
+class PathsCounter:
+    """HashBlockPaths_Counter.java: combine 1-2 component paths."""
+
+    def __init__(
+        self,
+        components: list[CountingHashBlockPath],
+        expected_inner_distance: int,
+        max_inner_distance: int,
+    ):
+        if len(components) > 2:
+            raise ValueError("at most 2 query components supported")
+        self.components = components
+        self.max_offset_between_components = max_inner_distance + len(
+            components[0].query
+        )
+        self.found_nonempty_result = False
+        self._prev_components: list[list[MatchCounter]] | None = None
+        self._prev_matches: list[QueryMatch] | None = None
+
+    def find_good_positions_having_priority(self, num_mismatches: int) -> list[QueryMatch]:
+        all_matches = self._find_good_positions_with_priority_up_to(num_mismatches)
+        return [m for m in all_matches if m.priority == num_mismatches]
+
+    def _find_good_positions_with_priority_up_to(self, num_mismatches: int) -> list[QueryMatch]:
+        pieces = []
+        for component in self.components:
+            matches_here = component.find_good_positions_having_priority_up_to(num_mismatches)
+            if matches_here:
+                self.found_nonempty_result = True
+            pieces.append(matches_here)
+        return self._match(pieces)
+
+    def optimistic_get_best_matches(self) -> list[QueryMatch]:
+        """java:84-98 + the max-priority filter of filterMatchesHavingMinPriority."""
+        pieces = []
+        for component in self.components:
+            while True:
+                best = component.get_best_matches()
+                if len(best) == 1 or not component.step():
+                    pieces.append(best)
+                    break
+        all_matches = self._match(pieces)
+        # filterMatchesHavingMinPriority actually computes the MAX priority
+        # (java:296-304) — reproduced as-is
+        peak = -1
+        for m in all_matches:
+            if peak < 0 or peak < m.priority:
+                peak = m.priority
+        return [m for m in all_matches if m.priority == peak]
+
+    def find_partially_good_positions(self) -> list[QueryMatch]:
+        """java:26-49: pair one good side with all positions of a bad side."""
+        if len(self.components) != 2:
+            return []
+        if not self.found_nonempty_result:
+            return []
+        pieces = []
+        found_good = found_bad = False
+        for component in self.components:
+            matches_here = component.find_good_positions_having_priority_up_to(_INT_MAX)
+            if not matches_here:
+                found_bad = True
+                matches_here = component.get_all_positions()
+            else:
+                found_good = True
+            pieces.append(matches_here)
+        if found_good and found_bad:
+            return self._match_without_cache(pieces)
+        return []
+
+    def find_good_component_matches(
+        self, sequence_index: int, max_priority: int
+    ) -> list[SequenceMatch]:
+        counters = self.components[sequence_index].find_good_positions_having_priority_up_to(
+            max_priority
+        )
+        return [c.match for c in counters]
+
+    def get_num_blocks(self) -> int:
+        return sum(c.get_num_blocks() for c in self.components)
+
+    def _match(self, pieces: list[list[MatchCounter]]) -> list[QueryMatch]:
+        if self._prev_components is not None and all(
+            a is b for a, b in zip(self._prev_components, pieces)
+        ):
+            return self._prev_matches
+        self._prev_matches = self._match_without_cache(pieces)
+        self._prev_components = pieces
+        return self._prev_matches
+
+    def _match_without_cache(self, pieces: list[list[MatchCounter]]) -> list[QueryMatch]:
+        """java:136-247."""
+        if len(pieces) == 1:
+            return [QueryMatch([c.match], c.priority) for c in pieces[0]]
+
+        last_component_is_largest = len(pieces[0]) <= len(pieces[1])
+        # keyed by (query-match-reversed, id(ref)): sorted offsets + counters
+        saved: dict[tuple[bool, int], tuple[list[int], dict[int, MatchCounter]]] = {}
+        matched_groups: list[list[MatchCounter]] = []
+        for i in range(2):
+            component_index = i if last_component_is_largest else 1 - i
+            choices = pieces[component_index]
+            for counter in choices:
+                match = counter.match
+                query_len = len(match.sequence_a)
+                max_reverse_offset = query_len // 2
+                query_match_reversed = match.reversed == (component_index % 2 == 0)
+                key = (query_match_reversed, id(match.sequence_b))
+                offsets_sorted, by_offset = saved.setdefault(key, ([], {}))
+                offset = match.offset
+                if i == 0:
+                    j = bisect.bisect_left(offsets_sorted, offset)
+                    offsets_sorted.insert(j, offset)
+                    by_offset[offset] = counter
+                else:
+                    if query_match_reversed == last_component_is_largest:
+                        search_start = offset - max_reverse_offset
+                        search_end = offset + self.max_offset_between_components
+                    else:
+                        search_start = offset - self.max_offset_between_components
+                        search_end = offset + max_reverse_offset
+                    lo = bisect.bisect_left(offsets_sorted, search_start)
+                    hi = bisect.bisect_right(offsets_sorted, search_end)
+                    nearby = offsets_sorted[lo:hi]
+                    if query_match_reversed and len(nearby) > 1:
+                        nearby = list(reversed(nearby))
+                    for other_offset in nearby:
+                        other = by_offset[other_offset]
+                        if last_component_is_largest:
+                            matched_groups.append([other, counter])
+                        else:
+                            matched_groups.append([counter, other])
+        return self._assemble(matched_groups)
+
+    def _assemble(self, groups: list[list[MatchCounter]]) -> list[QueryMatch]:
+        results = []
+        for group in groups:
+            if len(group) > 1:
+                hint_forward = (
+                    group[0].get_num_distinct_mismatches()
+                    < group[1].get_num_distinct_mismatches()
+                )
+            else:
+                hint_forward = True
+            priority = self._count_priority(group)
+            results.append(
+                QueryMatch([c.match for c in group], priority, hint_forward)
+            )
+        return results
+
+    @staticmethod
+    def _count_priority(group: list[MatchCounter]) -> int:
+        """java:314-334: sum of priorities, or max when ref-overlapping."""
+        if len(group) == 2:
+            m1, m2 = group[0].match, group[1].match
+            if m1.start_index_b < m2.end_index_b and m1.end_index_b > m2.start_index_b:
+                return max(c.priority for c in group)
+        return sum(c.priority for c in group)

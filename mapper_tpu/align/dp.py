@@ -422,7 +422,9 @@ def local_align(
 ) -> SequenceAlignment | None:
     """The full LocalAligner-chain semantics: ungapped first with ties broken
     toward no indels (StraightAligner.java:13-71), then the exact gapped DP."""
-    reference_reversed = ref.complemented_from is not None
+    # "reference reversed" is tracked via whether sequence A is the
+    # reverse-complement query (StraightAligner.java:93, PathAligner.java:351)
+    reference_reversed = query.complemented_from is not None
     max_interesting = (q_end - q_start) * params.max_error_rate
 
     simple = straight_alignment(

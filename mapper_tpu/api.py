@@ -26,6 +26,11 @@ class ReferenceIndex:
     hashblock_database: object  # mapper_tpu.index.database.HashBlockDatabase
     duplication_detector: object | None = None
 
+    def get_original_sequence(self, sequence: Sequence) -> Sequence:
+        """Maps an (ancestral) alignment target back to the original contig
+        (ReferenceProvider.getOriginalSequence)."""
+        return self.hashblock_database.get_original_sequence(sequence)
+
 
 class Api:
     @staticmethod
