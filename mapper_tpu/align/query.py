@@ -51,7 +51,13 @@ class Query:
         return self.identifier
 
     def subquery(self, i: int) -> "Query":
-        return Query(self.sequences[i])
+        # keeps the spacing model so the contig-edge rescue's spacing penalty is
+        # computed against the parent query's expectations
+        return Query(
+            self.sequences[i],
+            expected_inner_distance=self.expected_inner_distance,
+            spacing_deviation_per_unit_penalty=self.spacing_deviation_per_unit_penalty,
+        )
 
     def format(self) -> str:
         return ", ".join(s.get_text() for s in self.sequences)

@@ -1,0 +1,210 @@
+"""Golden-output writer tests, transcribed from the reference's
+SamWriter_Test.java and MutationsWriter_Test.java (the queries, references,
+parameters, and expected outputs are the upstream fixtures)."""
+
+import io
+
+import pytest
+
+from mapper_tpu.align.params import AlignmentParameters
+from mapper_tpu.align.query import Query
+from mapper_tpu.align.worker import AlignerWorker
+from mapper_tpu.api import Api, ReferenceIndex
+from mapper_tpu.index.database import HashBlockDatabase
+from mapper_tpu.index.duplication import DuplicationDetector
+from mapper_tpu.io.mutations import MutationDetectionParameters, MutationsWriter
+from mapper_tpu.io.sam import SamWriter
+from mapper_tpu.pileup import MatchDatabase
+from mapper_tpu.sequence import Sequence, SequenceDatabase, sort_and_complement
+
+
+def make_parameters():
+    # SamWriter_Test.makeParameters (java:112-123)
+    return AlignmentParameters(
+        mutation_penalty=1.0,
+        insertion_start_penalty=1.5,
+        insertion_extension_penalty=0.6,
+        deletion_start_penalty=1.5,
+        deletion_extension_penalty=0.5,
+        max_error_rate=0.2,
+        ambiguity_penalty=0.2,
+        unaligned_penalty=0.2,
+        # the Java fixture leaves Max_PenaltySpan at the field default 0
+        max_penalty_span=0.0,
+    )
+
+
+def make_index(ref_text: str) -> ReferenceIndex:
+    ref = Sequence.from_text("ref", ref_text)
+    seq_db = SequenceDatabase(sort_and_complement([ref]))
+    hb = HashBlockDatabase(seq_db)
+    dup = DuplicationDetector(hb, 1, 2, min_num_interesting_copies=2, window_size=1)
+    return ReferenceIndex(seq_db, hb, dup)
+
+
+def build_sam(query, ref_text: str) -> str:
+    if isinstance(query, str):
+        query = Query(Sequence.from_text("query", query))
+    index = make_index(ref_text)
+    worker = AlignerWorker(index, make_parameters())
+    results = [worker.align(query)]
+    stream = io.StringIO()
+    sam = SamWriter(index.sequence_database, stream, False)
+    sam.add_alignments(results)
+    body = "".join(
+        line + "\n"
+        for line in stream.getvalue().split("\n")
+        if line and not line.startswith("@")
+    )
+    return body
+
+
+# --- SamWriter_Test scenarios ---------------------------------------------
+
+
+def test_sam_simple():
+    sam = build_sam("ACGTA", "ACGTAAAAACCGTAAA")
+    assert sam == "query\t0\tref\t1\t255\t5M\t*\t0\t5\tACGTA\t*\tAS:f:0.0\n"
+
+
+def test_sam_paired_end():
+    fwd = Sequence.from_text("one", "AACCGGTTAT")
+    rev = Sequence.from_text("two", "ATACGTACGT")
+    query = Query(fwd, rev, 1, 100)
+    sam = build_sam(query, "AACCGGTTATAAAAAAAAAAACGTACGTATAAAAAAAAAA")
+    expected = (
+        "one\t99\tref\t1\t255\t10M\tref\t21\t10\tAACCGGTTAT\t*\tcs:f:0.0\tAS:f:0.0\n"
+        "two\t147\tref\t21\t255\t10M\tref\t1\t10\tACGTACGTAT\t*\tcs:f:0.0\tAS:f:0.0\n"
+    )
+    assert sam == expected
+
+
+def test_sam_one_read_multiple_alignments():
+    sam = build_sam("ACGTA", "ACGTAAAAACGTAAAA")
+    lines = set(sam.rstrip("\n").split("\n"))
+    assert lines == {
+        "query\t0\tref\t1\t255\t5M\t*\t0\t5\tACGTA\t*\tAS:f:0.0",
+        "query\t0\tref\t9\t255\t5M\t*\t0\t5\tACGTA\t*\tAS:f:0.0",
+    }
+
+
+def test_sam_paired_end_multiple_alignments():
+    fwd = Sequence.from_text("one", "ACGTA")
+    rev = Sequence.from_text("two", "GGGGG")
+    query = Query(fwd, rev, 1, 5)
+    sam = build_sam(query, "ACGTAAAACCCCCTTTTACGTAAAACCCCC")
+    lines = set(sam.rstrip("\n").split("\n"))
+    assert lines == {
+        "one\t99\tref\t18\t255\t5M\tref\t26\t5\tACGTA\t*\tcs:f:0.0\tAS:f:0.0",
+        "two\t147\tref\t26\t255\t5M\tref\t18\t5\tCCCCC\t*\tcs:f:0.0\tAS:f:0.0",
+        "one\t99\tref\t1\t255\t5M\tref\t9\t5\tACGTA\t*\tcs:f:0.0\tAS:f:0.0",
+        "two\t147\tref\t9\t255\t5M\tref\t1\t5\tCCCCC\t*\tcs:f:0.0\tAS:f:0.0",
+    }
+
+
+def test_sam_paired_end_only_one_sequence_aligned():
+    fwd = Sequence.from_text("one", "AACCGGTTAT")
+    rev = Sequence.from_text("two", "CCCCCCCCCC")
+    query = Query(fwd, rev, 1, 100)
+    sam = build_sam(query, "AACCGGTTATAAAAAAAAAAACGTACGTATAAAAAAAAAA")
+    assert sam == "one\t73\tref\t1\t255\t10M\t*\t0\t10\tAACCGGTTAT\t*\tcs:f:0.0\tAS:f:0.0\n"
+
+
+# --- MutationsWriter_Test scenarios ---------------------------------------
+
+
+def build_mutations(
+    query_text: str,
+    ref_text: str,
+    filter_params: MutationDetectionParameters | None = None,
+    query_end_fraction: float = 0.0,
+) -> str:
+    if filter_params is None:
+        filter_params = MutationDetectionParameters.empty_filter()
+    index = make_index(ref_text)
+    worker = AlignerWorker(index, make_parameters())
+    query = Query(Sequence.from_text("query", query_text))
+    match_db = MatchDatabase(query_end_fraction)
+    match_db.add_alignments([worker.align(query)])
+    pileups = match_db.group_by_position()
+    stream = io.StringIO()
+    MutationsWriter(stream, filter_params).write(pileups)
+    return "".join(
+        line + "\n"
+        for line in stream.getvalue().split("\n")
+        if line and not line.startswith("#") and not line.startswith("CHR")
+    )
+
+
+def test_mutations_none():
+    assert build_mutations("ACGTA", "ACGTAAAAAAAAAAAA") == ""
+
+
+def test_mutations_one_snp():
+    assert build_mutations("AACGTT", "AACGTAAAAA") == "ref\t6\tA\tT\t1\t1\n"
+
+
+def test_mutations_consecutive():
+    out = build_mutations("ACGTTTAAACCGG", "ACGTAAAAACCGG")
+    assert out == "ref\t5\tA\tT\t1\t1\nref\t6\tA\tT\t1\t1\n"
+
+
+def test_mutations_insertion():
+    out = build_mutations("ACGGACTTACGTCGTTAACCACGA", "ACGCTTACGTCGTTAACCACGA")
+    assert out == "ref\t3\t--\tGA\t1\t1\n"
+
+
+def test_mutations_deletion():
+    out = build_mutations("CACGTAACCGGTTATT", "CACGTAAGACCGGTTATT")
+    assert out == "ref\t7\tAG\t--\t1\t1\n"
+
+
+def test_mutations_low_depth_filtered():
+    filt = MutationDetectionParameters.empty_filter()
+    filt.min_snp_total_depth = 2
+    assert build_mutations("ACGTAACTCCGGCTC", "ACGTACGTCCGGCTC", filt) == ""
+    out = build_mutations("ACGTAACTCCGGCTC", "ACGTACGTCCGGCTC")
+    assert out == "ref\t6\tC\tA\t1\t1\nref\t7\tG\tC\t1\t1\n"
+
+
+def test_mutations_indel_near_query_end_filtered():
+    filt = MutationDetectionParameters.empty_filter()
+    filt.min_indel_total_start_depth = 1
+    out = build_mutations("CCTAACGTAACTCTGGCCGCAA", "AGGAACCTACGTAACTCTGGCCGCAA", filt, 0.5)
+    assert out == ""
+    out = build_mutations("CCTAACGTAACTCTGGCCGCAA", "AGGAACCTACGTAACTCTGGCCGCAA")
+    assert out == "ref\t8\t-\tA\t1\t1\n"
+
+
+# --- pileup semantics (MatchDatabase_Test) --------------------------------
+
+
+def test_pileup_counts_every_position_once():
+    from mapper_tpu.align.blocks import AlignedBlock, QueryAlignment, QueryAlignments, new_sequence_alignment
+
+    a = Sequence.from_text("a", "AACCACGT")
+    b = Sequence.from_text("b", "AACCACGA")
+    params = AlignmentParameters()
+    alignment = new_sequence_alignment([AlignedBlock(a, b, 0, 0, 8, 8)], False, params)
+    db = MatchDatabase(0)
+    db.add_alignments([QueryAlignments.single_choice(QueryAlignment(alignment))])
+    pileup = db.group_by_position()[b]
+    for i in range(8):
+        assert pileup.get_count(i) == pytest.approx(1.0)
+
+
+def test_pileup_overlapping_paired_end_weight():
+    from mapper_tpu.align.blocks import AlignedBlock, QueryAlignment, QueryAlignments, new_sequence_alignment
+
+    ref = Sequence.from_text("ref", "AACCACGATTAC")
+    q1 = Sequence.from_text("q1", "AACCACGA")
+    q2 = Sequence.from_text("q2", "CACGATTAC")
+    params = AlignmentParameters()
+    a1 = new_sequence_alignment([AlignedBlock(q1, ref, 0, 0, 8, 8)], False, params)
+    a2 = new_sequence_alignment([AlignedBlock(q2, ref, 0, 3, 9, 9)], False, params)
+    alignment = QueryAlignment([a1, a2], 0, 0, 0, 0, -5)
+    db = MatchDatabase(0)
+    db.add_alignments([QueryAlignments.single_choice(alignment)])
+    pileup = db.group_by_position()[ref]
+    for i in range(12):
+        assert pileup.get_count(i) == pytest.approx(1.0), f"position {i}"
