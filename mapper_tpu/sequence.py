@@ -27,7 +27,15 @@ from mapper_tpu import basepairs
 class Sequence:
     """An immutable named sequence of 4-bit-encoded basepairs."""
 
-    __slots__ = ("name", "codes", "path", "quality", "complemented_from", "identifier")
+    __slots__ = (
+        "name",
+        "codes",
+        "path",
+        "quality",
+        "complemented_from",
+        "identifier",
+        "_rc_cache",
+    )
 
     def __init__(
         self,
@@ -45,6 +53,7 @@ class Sequence:
         self.quality = quality
         self.complemented_from = complemented_from
         self.identifier = identifier
+        self._rc_cache: "Sequence | None" = None
 
     @staticmethod
     def from_text(name: str, text: str, path: str | None = None) -> "Sequence":
@@ -70,20 +79,24 @@ class Sequence:
         return basepairs.decode_one(int(self.codes[index]))
 
     def reverse_complement(self) -> "Sequence":
-        """Returns the reverse complement; its `complemented_from` is this sequence.
-
-        (reference behavior: Sequence.reverseComplement via Mapper.java:1165 and
-        Counting_HashBlockPath.java:82-86)
-        """
-        rc = Sequence(
-            self.name + "-rev",
-            basepairs.reverse_complement(self.codes),
-            path=self.path,
-            quality=None if self.quality is None else self.quality[::-1],
-            complemented_from=self,
-            identifier=self.identifier,
-        )
-        return rc
+        """Returns the reverse complement; its `complemented_from` is this
+        sequence.  The RC of an RC is the original object — pair-orientation
+        checks rely on `complemented_from` distinguishing strands, so a double
+        reverse-complement must not look reversed (pinned by the reference's
+        AlignerWorker_Test.doTestPairedEndQueries: same-orientation mates must
+        not pair)."""
+        if self.complemented_from is not None:
+            return self.complemented_from
+        if self._rc_cache is None:
+            self._rc_cache = Sequence(
+                self.name + "-rev",
+                basepairs.reverse_complement(self.codes),
+                path=self.path,
+                quality=None if self.quality is None else self.quality[::-1],
+                complemented_from=self,
+                identifier=self.identifier,
+            )
+        return self._rc_cache
 
     def get_subsequence(self, start: int, length: int, name: str | None = None) -> "Sequence":
         sub = Sequence(
