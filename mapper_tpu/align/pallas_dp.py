@@ -1,0 +1,255 @@
+"""Banded affine-gap DP scoring on TPU: the extend kernel.
+
+Scores a batch of (query, reference-window) pairs under the reference's penalty
+model (AlignmentParameters.java): per-base mismatch/ambiguity penalties,
+separate insertion/deletion open+extend costs, free leading/trailing reference
+overhang within the window (the glocal semantics of PathAligner.java restricted
+to the candidate band).  Scoring only — the few accepted candidates get their
+block structure from the exact host DP (mapper_tpu.align.dp), which is the
+output-parity reference.
+
+Formulation (TPU-first):
+- band coordinate k = y - x in [0, BAND); all DP state is [TILE, BAND] so the
+  vector unit processes a whole tile of pairs x band positions per step;
+- one sequential loop over query positions x (the only true dependency);
+  deletion chains within a row are resolved with a log2(BAND)-step min-plus
+  (Kogge-Stone) scan instead of a sequential walk;
+- the per-base penalty is computed arithmetically from the 4-bit codes
+  (popcount of the union nibble), so there are no table gathers:
+      match    -> AmbiguityPenalty * (popcount(q|w) - 1) / 3
+      mismatch -> MutationPenalty
+- per-pair query/window lengths are handled by masking and by capturing the
+  result at x == n_i, so one compiled kernel serves the whole batch.
+
+The pure-jnp implementation (`banded_scores_reference`) runs the same math with
+lax primitives on any backend and is the differential-test oracle for the
+Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e9
+
+
+def _base_penalty(q, w, mutation, ambiguity):
+    """Vectorized penalty between 4-bit codes (int32 arrays)."""
+    union = q | w
+    can_match = (q & w) != 0
+    popcount = (
+        (union & 1) + ((union >> 1) & 1) + ((union >> 2) & 1) + ((union >> 3) & 1)
+    )
+    amb = ambiguity * (popcount - 1).astype(jnp.float32) / 3.0
+    return jnp.where(can_match, amb, mutation)
+
+
+def _roll_minus_one(arr):
+    """Shift lanes left by one (lane j takes lane j+1's value; garbage wraps to
+    the last lane and is masked by validity checks).  Mosaic cannot lower
+    unaligned lane-dimension dynamic slices, so the kernel carries the query
+    and window arrays in the loop state and rolls them one lane per step —
+    every slice it takes is static."""
+    return jnp.roll(arr, shift=-1, axis=1)
+
+
+def _dp_step(x, state, n, m, params_tuple, band):
+    """One query-position step shared by the jnp and Pallas implementations.
+
+    state: (best, ins_x, result, q_cur, w_cur); best/ins_x [TILE, BAND],
+    result [TILE], q_cur [TILE, LQ] with the current query char in lane 0,
+    w_cur [TILE, LW] with window index x in lane 0; n/m [TILE, 1] int32.
+    """
+    best, ins_x, result, q_cur, w_cur = state
+    mutation, ambiguity, ins_open, ins_ext, del_open, del_ext = params_tuple
+    tile = best.shape[0]
+
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+
+    # window chars consumed by a diagonal step to x+1 at band k: index x + k
+    w_slice = w_cur[:, :band]
+    q_char = q_cur[:, :1]
+    pen = _base_penalty(q_char, w_slice, mutation, ambiguity)
+    w_valid = (x + k_range) < m  # window char exists
+    active = x < n  # this pair still has query chars
+    diag_new = jnp.where(w_valid & active, best + pen, BIG)
+
+    # query insertion: (x, y) -> (x+1, y): band shifts down by one
+    ins_candidates = jnp.minimum(ins_x + ins_ext, best + ins_open)
+    ins_shifted = jnp.concatenate(
+        [ins_candidates[:, 1:], jnp.full((tile, 1), BIG, jnp.float32)], axis=1
+    )
+    ins_new = jnp.where(active, ins_shifted, BIG)
+
+    best_after = jnp.minimum(diag_new, ins_new)
+
+    # deletion chain within the new row: min-plus scan along the band
+    shifted = jnp.concatenate(
+        [jnp.full((tile, 1), BIG, jnp.float32), best_after[:, :-1]], axis=1
+    )
+    chain = shifted + del_open
+    step = 1
+    while step < band:
+        moved = jnp.concatenate(
+            [jnp.full((tile, step), BIG, jnp.float32), chain[:, :-step]], axis=1
+        )
+        chain = jnp.minimum(chain, moved + step * del_ext)
+        step *= 2
+    # deletions consume window chars: mask where the consumed char is invalid
+    del_valid = (x + k_range) < m
+    chain = jnp.where(del_valid & active, chain, BIG)
+
+    best_new = jnp.minimum(best_after, chain)
+    best_new = jnp.where(active, best_new, best)
+    ins_x_new = jnp.where(active, ins_new, ins_x)
+
+    # capture the score when this pair's query is fully consumed at x+1 == n
+    finished = (x + 1) == n  # [TILE, 1]
+    tail_valid = ((x + 1) + k_range) <= m  # window skip after the query is free
+    finals = jnp.where(tail_valid, best_new, BIG)
+    captured = jnp.min(finals, axis=1)  # [TILE]
+    result = jnp.where(finished[:, 0], captured, result)
+
+    return best_new, ins_x_new, result, _roll_minus_one(q_cur), _roll_minus_one(w_cur)
+
+
+def _params_tuple(params):
+    return (
+        jnp.float32(params.mutation_penalty),
+        jnp.float32(params.ambiguity_penalty),
+        jnp.float32(params.insertion_start_penalty + params.insertion_extension_penalty),
+        jnp.float32(params.insertion_extension_penalty),
+        jnp.float32(params.deletion_start_penalty + params.deletion_extension_penalty),
+        jnp.float32(params.deletion_extension_penalty),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def _banded_scores_jnp(q_codes, w_codes, n, m, params_tuple, band: int):
+    tile = q_codes.shape[0]
+    lq = q_codes.shape[1]
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+    best0 = jnp.where(k_range <= m, 0.0, BIG).astype(jnp.float32)
+    ins0 = jnp.full((tile, band), BIG, jnp.float32)
+    res0 = jnp.full((tile,), BIG, jnp.float32)
+
+    def body(x, state):
+        return _dp_step(x, state, n, m, params_tuple, band)
+
+    state0 = (best0, ins0, res0, q_codes, w_codes)
+    _, _, result, _, _ = jax.lax.fori_loop(0, lq, body, state0)
+    return result
+
+
+def _pad_window(q_codes, w_codes, band: int):
+    """The kernel slices w[x : x+band] for x < LQ; pad the window array so the
+    dynamic slice never clamps (clamping would silently misalign the band)."""
+    needed = q_codes.shape[1] + band
+    if w_codes.shape[1] < needed:
+        w_codes = jnp.pad(w_codes, ((0, 0), (0, needed - w_codes.shape[1])))
+    return w_codes
+
+
+def banded_scores_reference(q_codes, w_codes, n, m, params, band: int):
+    """Pure-jnp banded DP scores: [B] float32 (BIG where no alignment fits the
+    band).  Runs on any backend; the oracle for the Pallas kernel."""
+    q_codes = jnp.asarray(q_codes, jnp.int32)
+    w_codes = _pad_window(q_codes, jnp.asarray(w_codes, jnp.int32), band)
+    return _banded_scores_jnp(
+        q_codes,
+        w_codes,
+        jnp.asarray(n, jnp.int32).reshape(-1, 1),
+        jnp.asarray(m, jnp.int32).reshape(-1, 1),
+        _params_tuple(params),
+        band,
+    )
+
+
+def _pallas_kernel(q_ref, w_ref, n_ref, m_ref, p_ref, out_ref, *, band: int, lq: int):
+    tile = q_ref.shape[0]
+    n = n_ref[:]
+    m = m_ref[:]
+    params_tuple = tuple(p_ref[0, i] for i in range(6))
+
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+    best0 = jnp.where(k_range <= m, 0.0, BIG).astype(jnp.float32)
+    ins0 = jnp.full((tile, band), BIG, jnp.float32)
+    res0 = jnp.full((tile,), BIG, jnp.float32)
+
+    def body(x, state):
+        return _dp_step(x, state, n, m, params_tuple, band)
+
+    state0 = (best0, ins0, res0, q_ref[:], w_ref[:])
+    _, _, result, _, _ = jax.lax.fori_loop(0, lq, body, state0)
+    out_ref[:] = result.reshape(tile, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
+def _banded_scores_pallas(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+    b = q_codes.shape[0]
+    lq = q_codes.shape[1]
+    lw = w_codes.shape[1]
+    grid = (b // tile,)
+    kernel = functools.partial(_pallas_kernel, band=band, lq=lq)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, lq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, lw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        interpret=interpret,
+    )(q_codes, w_codes, n, m, params_vec)
+    return out[:, 0]
+
+
+def banded_scores(
+    q_codes,
+    w_codes,
+    n,
+    m,
+    params,
+    band: int = 128,
+    tile: int = 64,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+):
+    """Batched banded-DP scores.
+
+    q_codes [B, LQ] uint8 (0-padded), w_codes [B, LW] uint8, n/m [B] actual
+    lengths.  B is padded up to a multiple of `tile`.  Uses the Pallas kernel
+    on TPU and the jnp path elsewhere unless overridden."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    q_codes = jnp.asarray(q_codes, jnp.int32)
+    w_codes = _pad_window(q_codes, jnp.asarray(w_codes, jnp.int32), band)
+    b = q_codes.shape[0]
+    n = jnp.asarray(n, jnp.int32).reshape(-1, 1)
+    m = jnp.asarray(m, jnp.int32).reshape(-1, 1)
+    if not use_pallas:
+        return _banded_scores_jnp(q_codes, w_codes, n, m, _params_tuple(params), band)
+
+    padded_b = -(-b // tile) * tile
+    if padded_b != b:
+        pad = padded_b - b
+        q_codes = jnp.pad(q_codes, ((0, pad), (0, 0)))
+        w_codes = jnp.pad(w_codes, ((0, pad), (0, 0)))
+        n = jnp.pad(n, ((0, pad), (0, 0)), constant_values=1)
+        m = jnp.pad(m, ((0, pad), (0, 0)), constant_values=1)
+    params_vec = jnp.array([_params_tuple(params)], dtype=jnp.float32)
+    scores = _banded_scores_pallas(
+        q_codes, w_codes, n, m, params_vec, band, tile, interpret
+    )
+    return scores[:b]

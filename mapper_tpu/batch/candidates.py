@@ -1,0 +1,312 @@
+"""Batched candidate generation: whole-batch seed lookup and offset voting.
+
+The TPU-first replacement for the per-read adaptive walk of
+align/candidates.py: a batch of reads is concatenated into one array, the
+pyramid and gapmers are computed for the entire batch in a handful of
+vectorized passes (mapper_tpu.index.hashblock with segment ids), every
+interesting gapmer is looked up in the packed index with one gather, and
+candidate (read, strand, offset) votes come out of one lexsort.  No
+data-dependent control flow per read — hash collisions and spurious offsets
+simply become extra candidate rows that the scoring stage rejects (spending
+predictable device FLOPs instead of branchy host time).
+
+Output: a candidate table (read_id, reversed, ref_global_offset, votes) with
+at most `max_candidates_per_read` rows per read, vote-ranked — the input to
+the banded-DP scoring kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from mapper_tpu import basepairs
+from mapper_tpu.index import hashblock
+from mapper_tpu.index.database import HashBlockDatabase
+from mapper_tpu.sequence import Sequence
+
+
+@dataclass
+class ReadBatch:
+    """A batch of same-orientation read sequences, concatenated."""
+
+    codes: np.ndarray  # uint8[total]
+    seg: np.ndarray  # int32[total] read id per base
+    starts: np.ndarray  # int64[num_reads + 1] read boundaries
+    lengths: np.ndarray  # int64[num_reads]
+
+    @staticmethod
+    def from_sequences(sequences: list[Sequence]) -> "ReadBatch":
+        lengths = np.array([len(s) for s in sequences], dtype=np.int64)
+        starts = np.zeros(len(sequences) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        codes = (
+            np.concatenate([s.codes for s in sequences])
+            if sequences
+            else np.zeros(0, dtype=np.uint8)
+        )
+        seg = np.repeat(np.arange(len(sequences), dtype=np.int32), lengths)
+        return ReadBatch(codes, seg, starts, lengths)
+
+    @property
+    def num_reads(self) -> int:
+        return int(self.lengths.shape[0])
+
+
+@dataclass
+class CandidateTable:
+    """Vote-ranked alignment candidates for a batch."""
+
+    read_id: np.ndarray  # int32[k]
+    reversed_: np.ndarray  # bool[k]: query aligns via its reverse complement
+    ref_seq_index: np.ndarray  # int32[k]: forward contig index in the database
+    offset: np.ndarray  # int64[k]: contig-local offset of query position 0
+    votes: np.ndarray  # int32[k]
+
+    def __len__(self) -> int:
+        return int(self.read_id.shape[0])
+
+
+def collect_batch_seeds(
+    batch: ReadBatch, database: HashBlockDatabase
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All interesting gapmers of the batch: returns (seg, block_start_in_read,
+    block_length, num_bp, lookup_key, primary) stacked column arrays."""
+    min_size = database.get_min_interesting_size()
+    max_size = database.get_hashed_length()
+    row = hashblock.base_row(batch.codes, seg=batch.seg)
+    prefixes = hashblock.GapmerPrefixes(batch.codes)
+    seg_bounds = (batch.starts[:-1], batch.starts[1:])
+
+    segs, starts, lengths, num_bps, keys, primaries = [], [], [], [], [], []
+    while len(row) >= 2:
+        row = hashblock.merge_row(row)
+        if len(row) == 0:
+            break
+        g = hashblock.expand_gapmers(row, prefixes, seg_bounds=seg_bounds)
+        if len(g) == 0:
+            continue
+        keep = (g.num_basepairs_used >= min_size) & (g.num_basepairs_used <= max_size)
+        if not np.any(keep):
+            if row.min_length() > max_size:
+                break
+            continue
+        idx = g.block_index[keep]
+        seg = row.seg[idx]
+        segs.append(seg)
+        starts.append(g.start[keep] - batch.starts[seg])
+        lengths.append(g.length[keep])
+        num_bps.append(g.num_basepairs_used[keep])
+        keys.append(np.where(g.primary[keep], g.fwd[keep], g.rev[keep]))
+        primaries.append(g.primary[keep])
+        if row.min_length() > max_size:
+            break
+    if not segs:
+        empty = np.zeros(0, dtype=np.int64)
+        return (empty.astype(np.int32), empty, empty, empty, empty, empty.astype(bool))
+    return (
+        np.concatenate(segs),
+        np.concatenate(starts),
+        np.concatenate(lengths).astype(np.int64),
+        np.concatenate(num_bps).astype(np.int64),
+        np.concatenate(keys).astype(np.int64),
+        np.concatenate(primaries),
+    )
+
+
+def generate_candidates(
+    batch: ReadBatch,
+    database: HashBlockDatabase,
+    max_candidates_per_read: int = 8,
+    min_votes: int = 1,
+    offset_merge_distance: int = 0,
+) -> CandidateTable:
+    """Seed lookup + offset voting for a whole batch.
+
+    Each gapmer whose index bin is within its per-size cap contributes one vote
+    per stored position to the implied (read, strand, contig, offset); the
+    top-voted offsets per read become candidates.  `offset_merge_distance`
+    merges nearby offsets (indel tolerance) by bucketing before voting.
+    """
+    seg, block_start, block_len, num_bp, key, primary = collect_batch_seeds(batch, database)
+    if seg.shape[0] == 0:
+        return CandidateTable(*[np.zeros(0, dtype=t) for t in (np.int32, bool, np.int32, np.int64, np.int32)])
+
+    seq_db = database.get_sequence_database()
+
+    # per-seed match counts from the packed index (vectorized per size group)
+    rows_read, rows_reversed, rows_seq, rows_offset = [], [], [], []
+    for size in np.unique(num_bp).tolist():
+        m = database.maps.get(int(size))
+        if m is None:
+            continue
+        sel = np.nonzero(num_bp == size)[0]
+        bins = m.bin_of(key[sel])
+        counts = m.counts[bins]
+        usable = (counts > 0) & (counts <= m.max_interesting_count)
+        sel = sel[usable]
+        if sel.shape[0] == 0:
+            continue
+        bins = bins[usable]
+        bin_offsets = m.offsets[bins]
+        bin_counts = m.counts[bins].astype(np.int64)
+        # flatten CSR ranges: repeat each seed row by its match count
+        repeat_idx = np.repeat(np.arange(sel.shape[0]), bin_counts)
+        flat_value_idx = (
+            np.repeat(bin_offsets, bin_counts)
+            + _ranges(bin_counts)
+        )
+        positions = m.values[flat_value_idx]  # encoded global positions
+        seed_rows = sel[repeat_idx]
+
+        pos_seq_idx, pos_offsets = seq_db.decode_positions(positions)
+        # lookup tables: db sequence index -> (is reverse strand, forward index, length)
+        rev_flags, fwd_index, seq_lengths = _strand_tables(database)
+
+        this_primary = primary[seed_rows]
+        b_start = block_start[seed_rows]
+        b_len = block_len[seed_rows]
+        read_len = batch.lengths[seg[seed_rows]]
+
+        # secondary-polarity lookups return positions on the matched strand's
+        # opposite sense: fold to match_block semantics
+        # (database.match_block applies the transform; here we inline it)
+        folded_offsets = np.where(
+            this_primary,
+            pos_offsets,
+            seq_lengths[database._rc_index[pos_seq_idx]] - pos_offsets - b_len,
+        )
+        folded_seq_idx = np.where(this_primary, pos_seq_idx, database._rc_index[pos_seq_idx])
+        matched_reverse = rev_flags[folded_seq_idx]
+        matched_fwd_idx = fwd_index[folded_seq_idx]
+
+        # express every match as (read strand, forward contig, read-position-0 offset)
+        # forward-contig match: offset = ref_pos - block_start
+        # reverse-contig match: fold to (RC read vs forward contig):
+        #   rc_offset = (rc_ref_start) - (rc_query_block_start)
+        #             = (L_contig - (pos + b_len)) - (L_read - (b_start + b_len))
+        contig_len = seq_lengths[matched_fwd_idx]
+        fwd_offset = folded_offsets - b_start
+        rc_offset = (contig_len - (folded_offsets + b_len)) - (
+            read_len - (b_start + b_len)
+        )
+        offset = np.where(matched_reverse, rc_offset, fwd_offset)
+
+        rows_read.append(seg[seed_rows])
+        rows_reversed.append(matched_reverse)
+        rows_seq.append(matched_fwd_idx.astype(np.int32))
+        rows_offset.append(offset)
+
+    if not rows_read:
+        return CandidateTable(*[np.zeros(0, dtype=t) for t in (np.int32, bool, np.int32, np.int64, np.int32)])
+
+    read = np.concatenate(rows_read)
+    reversed_ = np.concatenate(rows_reversed)
+    seq_idx = np.concatenate(rows_seq)
+    offset = np.concatenate(rows_offset)
+
+    if offset_merge_distance > 1:
+        bucket = offset // offset_merge_distance
+    else:
+        bucket = offset
+
+    # vote: count identical (read, reversed, seq, bucket) rows
+    order = np.lexsort((bucket, seq_idx, reversed_, read))
+    read, reversed_, seq_idx, offset, bucket = (
+        read[order],
+        reversed_[order],
+        seq_idx[order],
+        offset[order],
+        bucket[order],
+    )
+    boundary = np.ones(read.shape[0], dtype=bool)
+    boundary[1:] = (
+        (read[1:] != read[:-1])
+        | (reversed_[1:] != reversed_[:-1])
+        | (seq_idx[1:] != seq_idx[:-1])
+        | (bucket[1:] != bucket[:-1])
+    )
+    group_ids = np.cumsum(boundary) - 1
+    votes = np.bincount(group_ids).astype(np.int32)
+    first = np.nonzero(boundary)[0]
+
+    g_read = read[first]
+    g_reversed = reversed_[first]
+    g_seq = seq_idx[first]
+    g_offset = offset[first]  # representative (smallest in bucket after sort)
+
+    keep = votes >= min_votes
+    g_read, g_reversed, g_seq, g_offset, votes = (
+        g_read[keep],
+        g_reversed[keep],
+        g_seq[keep],
+        g_offset[keep],
+        votes[keep],
+    )
+
+    # top-K per read by votes: sort by (read, -votes) and cut
+    order = np.lexsort((-votes, g_read))
+    g_read, g_reversed, g_seq, g_offset, votes = (
+        g_read[order],
+        g_reversed[order],
+        g_seq[order],
+        g_offset[order],
+        votes[order],
+    )
+    rank = _rank_within_groups(g_read)
+    keep = rank < max_candidates_per_read
+    return CandidateTable(
+        g_read[keep].astype(np.int32),
+        g_reversed[keep],
+        g_seq[keep],
+        g_offset[keep],
+        votes[keep],
+    )
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.arange(total, dtype=np.int64)
+    resets = np.zeros(total, dtype=np.int64)
+    ends = np.cumsum(counts)[:-1]
+    resets[ends] = counts[:-1]
+    return idx - np.cumsum(resets)
+
+
+def _rank_within_groups(sorted_group_keys: np.ndarray) -> np.ndarray:
+    n = sorted_group_keys.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    boundary = np.ones(n, dtype=bool)
+    boundary[1:] = sorted_group_keys[1:] != sorted_group_keys[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    group_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+    return idx - group_start
+
+
+_STRAND_TABLE_CACHE: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _strand_tables(database: HashBlockDatabase):
+    """(is_reverse_strand, forward_index, length) arrays per db sequence."""
+    key = id(database)
+    cached = _STRAND_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    seq_db = database.get_sequence_database()
+    n = seq_db.get_num_sequences()
+    rev_flags = np.zeros(n, dtype=bool)
+    fwd_index = np.arange(n, dtype=np.int64)
+    lengths = np.zeros(n, dtype=np.int64)
+    for i, seq in enumerate(seq_db.get_all()):
+        lengths[i] = len(seq)
+        if seq.complemented_from is not None:
+            rev_flags[i] = True
+            fwd_index[i] = seq_db.index_of(seq.complemented_from)
+    result = (rev_flags, fwd_index, lengths)
+    _STRAND_TABLE_CACHE[key] = result
+    return result

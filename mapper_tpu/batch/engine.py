@@ -1,0 +1,274 @@
+"""The TPU batch alignment engine.
+
+Pipeline (single-end fast path):
+1. batched candidate generation (batch/candidates.py): one vectorized pass for
+   the whole batch's pyramids + one gather into the packed index + one lexsort
+   for offset voting;
+2. window building: candidate reference windows gathered from the concatenated
+   reference array;
+3. device scoring: ungapped diagonal penalties + banded affine DP penalties
+   (align/pallas_dp.py) for every candidate at once;
+4. vectorized decision: per-read best / Max_PenaltySpan window / MaxNumMatches,
+   ties broken toward ungapped (StraightAligner semantics);
+5. finalization: candidates whose banded score equals their ungapped score
+   become full-length ungapped alignments directly (the overwhelmingly common
+   case); reads needing indels, contig-edge economics, paired-end logic, or
+   that the batch path leaves unaligned fall back to the exact sequential
+   worker (align/worker.py), which is the output-parity reference.
+
+This trades redundant device FLOPs (scoring every candidate, collisions
+included) for the removal of per-read host control flow — the TPU-first
+inversion of the reference's adaptive search.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mapper_tpu import basepairs
+from mapper_tpu.align import pallas_dp
+from mapper_tpu.align.blocks import (
+    AlignedBlock,
+    QueryAlignment,
+    QueryAlignments,
+    new_sequence_alignment,
+)
+from mapper_tpu.align.query import Query
+from mapper_tpu.align.worker import AlignerWorker
+from mapper_tpu.batch.candidates import CandidateTable, ReadBatch, generate_candidates
+from mapper_tpu.sequence import Sequence
+
+EPS = 1e-3
+
+
+class BatchAligner:
+    def __init__(
+        self,
+        reference_index,
+        parameters,
+        band: int = 128,
+        max_query_length: int = 512,
+        max_candidates_per_read: int = 8,
+        listeners: list | None = None,
+    ):
+        self.reference_index = reference_index
+        self.database = reference_index.hashblock_database
+        self.seq_db = self.database.get_sequence_database()
+        self.parameters = parameters
+        self.band = band
+        self.max_query_length = max_query_length
+        self.max_candidates_per_read = max_candidates_per_read
+        self.listeners = listeners if listeners is not None else []
+        self.fallback_worker = AlignerWorker(reference_index, parameters)
+        self.concat = self.seq_db.concatenated_codes()
+        self.stats_fallback_reads = 0
+        self.stats_batch_reads = 0
+
+    # ------------------------------------------------------------------
+
+    def process_batch(self, queries: list[Query]) -> list[QueryAlignments]:
+        results: list[QueryAlignments | None] = [None] * len(queries)
+
+        batch_indices: list[int] = []
+        fallback_indices: list[int] = []
+        for i, query in enumerate(queries):
+            seq = query.get_sequence(0)
+            if (
+                query.get_num_sequences() == 1
+                and len(seq) <= self.max_query_length
+                and not bool(np.any(basepairs.is_ambiguous(seq.codes)))
+            ):
+                batch_indices.append(i)
+            else:
+                fallback_indices.append(i)
+
+        if batch_indices:
+            batch_queries = [queries[i] for i in batch_indices]
+            batch_results = self._align_single_end_batch(batch_queries)
+            for local, i in enumerate(batch_indices):
+                if batch_results[local] is None:
+                    fallback_indices.append(i)
+                else:
+                    results[i] = batch_results[local]
+
+        for i in fallback_indices:
+            self.stats_fallback_reads += 1
+            results[i] = self.fallback_worker.align(queries[i])
+
+        for listener in self.listeners:
+            listener.add_alignments(results)
+        return results
+
+    # ------------------------------------------------------------------
+
+    def _align_single_end_batch(
+        self, queries: list[Query]
+    ) -> list[QueryAlignments | None]:
+        """Returns one QueryAlignments per query, or None where the exact
+        sequential path must decide."""
+        p = self.parameters
+        reads = [q.get_sequence(0) for q in queries]
+        batch = ReadBatch.from_sequences(reads)
+        num_reads = batch.num_reads
+        self.stats_batch_reads += num_reads
+
+        max_indel = np.maximum(
+            0,
+            (
+                (batch.lengths * p.max_error_rate - p.deletion_start_penalty)
+                / p.deletion_extension_penalty
+            ).astype(np.int64),
+        )
+        shift = np.minimum(max_indel, self.band // 2)
+
+        table = generate_candidates(
+            batch, self.database, max_candidates_per_read=self.max_candidates_per_read
+        )
+        if len(table) == 0:
+            return [None] * num_reads
+
+        seq_starts = self.seq_db.starts
+        _, _, seq_lengths = _tables(self.database)
+        n_per_cand = batch.lengths[table.read_id]
+        shift_per_cand = shift[table.read_id]
+        contig_len = seq_lengths[table.ref_seq_index]
+
+        win_start_local = np.maximum(0, table.offset - shift_per_cand)
+        win_end_local = np.minimum(contig_len, table.offset + n_per_cand + shift_per_cand)
+        valid = win_end_local > win_start_local
+        # edge candidates (clamped windows touching contig bounds) use the
+        # sequential path for exact contig-edge economics
+        at_edge = (table.offset - shift_per_cand < 0) | (
+            table.offset + n_per_cand + shift_per_cand > contig_len
+        )
+
+        lq = int(batch.lengths.max())
+        lw = lq + self.band
+        num_cands = len(table)
+
+        # query codes per candidate (RC codes for reverse-strand candidates)
+        q_mat = np.zeros((num_reads, lq), dtype=np.uint8)
+        rc_mat = np.zeros((num_reads, lq), dtype=np.uint8)
+        for r, seq in enumerate(reads):
+            q_mat[r, : len(seq)] = seq.codes
+            rc_mat[r, : len(seq)] = basepairs.reverse_complement(seq.codes)
+        q_codes = np.where(
+            table.reversed_[:, None], rc_mat[table.read_id], q_mat[table.read_id]
+        )
+
+        # window codes gathered from the concatenated reference
+        win_start_global = seq_starts[table.ref_seq_index] + win_start_local
+        w_idx = win_start_global[:, None] + np.arange(lw, dtype=np.int64)[None, :]
+        w_len = (win_end_local - win_start_local).astype(np.int64)
+        w_idx = np.minimum(w_idx, self.concat.shape[0] - 1)
+        w_codes = self.concat[w_idx]
+
+        banded = np.asarray(
+            pallas_dp.banded_scores(
+                q_codes, w_codes, n_per_cand, w_len, p, band=self.band
+            ),
+            dtype=np.float64,
+        )
+
+        # ungapped penalty at the voted offset (only meaningful off-edge)
+        in_contig = (table.offset >= 0) & (table.offset + n_per_cand <= contig_len)
+        diag_start = seq_starts[table.ref_seq_index] + np.clip(
+            table.offset, 0, None
+        )
+        d_idx = diag_start[:, None] + np.arange(lq, dtype=np.int64)[None, :]
+        d_idx = np.minimum(d_idx, self.concat.shape[0] - 1)
+        ref_diag = self.concat[d_idx]
+        x_valid = np.arange(lq)[None, :] < n_per_cand[:, None]
+        pen = _base_penalty_np(q_codes, ref_diag, p)
+        ungapped = np.where(x_valid, pen, 0.0).sum(axis=1)
+        ungapped = np.where(in_contig, ungapped, np.inf)
+
+        # --- per-read decisions ----------------------------------------
+        max_allowed = np.nextafter(
+            n_per_cand * p.max_error_rate, np.inf
+        )
+        score = np.where(valid, np.minimum(banded, ungapped), np.inf)
+        viable = score <= max_allowed + EPS
+
+        results: list[QueryAlignments | None] = [None] * num_reads
+        order = np.argsort(table.read_id, kind="stable")
+        boundaries = np.searchsorted(
+            table.read_id[order], np.arange(num_reads + 1)
+        )
+        for r in range(num_reads):
+            rows = order[boundaries[r] : boundaries[r + 1]]
+            query = queries[r]
+            if rows.shape[0] == 0:
+                continue  # no candidates: let the exact path decide
+            rows_viable = rows[viable[rows]]
+            if rows_viable.shape[0] == 0:
+                continue  # nothing in budget: confirm via the exact path
+            best = score[rows_viable].min()
+            cutoff = min(best + p.max_penalty_span, float(max_allowed[rows_viable[0]]))
+            emit = rows_viable[score[rows_viable] <= cutoff + EPS]
+            if np.any(at_edge[emit]):
+                continue
+            # ties toward ungapped; reads needing gapped output use the exact path
+            if np.any(banded[emit] < ungapped[emit] - EPS):
+                continue
+            if emit.shape[0] > p.max_num_matches:
+                results[r] = QueryAlignments.unaligned(query.get_sequences())
+                continue
+            choices = []
+            ok = True
+            for c in emit.tolist():
+                choice = self._make_ungapped_alignment(query, table, c)
+                if choice is None:
+                    ok = False
+                    break
+                choices.append(choice)
+            if not ok:
+                continue
+            # dedup identical choices (different vote buckets, same placement)
+            seen = set()
+            unique = []
+            for choice in choices:
+                key = choice.content_key()
+                if key not in seen:
+                    seen.add(key)
+                    unique.append(choice)
+            results[r] = QueryAlignments.single_component(query.get_sequences(), unique)
+        return results
+
+    def _make_ungapped_alignment(
+        self, query: Query, table: CandidateTable, c: int
+    ) -> QueryAlignment | None:
+        seq = query.get_sequence(0)
+        ref = self.seq_db.get_sequence(int(table.ref_seq_index[c]))
+        offset = int(table.offset[c])
+        if table.reversed_[c]:
+            seq_a = seq.reverse_complement()
+        else:
+            seq_a = seq
+        if offset < 0 or offset + len(seq_a) > len(ref):
+            return None
+        block = AlignedBlock(seq_a, ref, 0, offset, len(seq_a), len(seq_a))
+        alignment = new_sequence_alignment(
+            [block], bool(table.reversed_[c]), self.parameters
+        )
+        max_allowed = np.nextafter(len(seq_a) * self.parameters.max_error_rate, np.inf)
+        if alignment.get_penalty() > max_allowed:
+            return None
+        return QueryAlignment(alignment)
+
+
+def _base_penalty_np(q, w, params):
+    union = (q | w).astype(np.int32)
+    can_match = (q & w) != 0
+    popcount = (union & 1) + ((union >> 1) & 1) + ((union >> 2) & 1) + ((union >> 3) & 1)
+    amb = params.ambiguity_penalty * (popcount - 1) / 3.0
+    return np.where(can_match, amb, params.mutation_penalty)
+
+
+_TABLE_CACHE: dict[int, tuple] = {}
+
+
+def _tables(database):
+    from mapper_tpu.batch.candidates import _strand_tables
+
+    return _strand_tables(database)

@@ -48,7 +48,11 @@ def max_gapmer_length(starting_length: int) -> int:
 
 @dataclass
 class BlockRow:
-    """One pyramid row as a struct-of-arrays, sorted by start index."""
+    """One pyramid row as a struct-of-arrays, sorted by start index.
+
+    `seg` optionally labels which segment (read) each block belongs to when a
+    whole batch of reads is processed as one concatenated array; merging never
+    crosses segment boundaries."""
 
     level: int
     start: np.ndarray  # int64[n]
@@ -61,6 +65,7 @@ class BlockRow:
     next_r: np.ndarray  # bool[n]
     gap_dir: np.ndarray  # int8[n] -1 left gap, +1 right gap, 0 none
     extra_gapmer: np.ndarray  # int32[n] extraGapmerLength
+    seg: np.ndarray | None = None  # int32[n] segment (read) id
 
     def __len__(self) -> int:
         return int(self.start.shape[0])
@@ -78,12 +83,13 @@ def _i32(x: np.ndarray) -> np.ndarray:
     return x.astype(np.int64).astype(np.uint32).astype(np.int32)
 
 
-def base_row(codes: np.ndarray) -> BlockRow:
+def base_row(codes: np.ndarray, seg: np.ndarray | None = None) -> BlockRow:
     """Row 0: one block per concrete base (HashBlock_BaseRow.java:27-56 non-ambiguous
     branch; hash values per HashBlock.hashChar, HashBlock.java:171-188).
 
     `codes` must contain only concrete bases (A/C/G/T nibbles); callers with
-    ambiguity go through the scalar path.
+    ambiguity go through the scalar path.  With `seg`, codes are a batch of
+    reads concatenated into one array and blocks carry their read id.
     """
     v = basepairs.TWO_BIT_TABLE[codes].astype(np.int32)
     if np.any(v < 0):
@@ -101,6 +107,7 @@ def base_row(codes: np.ndarray) -> BlockRow:
         next_r=(v & 1) == 1,
         gap_dir=np.zeros(n, dtype=np.int8),
         extra_gapmer=np.zeros(n, dtype=np.int32),
+        seg=None if seg is None else np.asarray(seg, dtype=np.int32),
     )
 
 
@@ -139,12 +146,15 @@ def merge_row(row: BlockRow) -> BlockRow:
             next_r=np.zeros(0, dtype=bool),
             gap_dir=np.zeros(0, dtype=np.int8),
             extra_gapmer=np.zeros(0, dtype=np.int32),
+            seg=None if row.seg is None else np.zeros(0, dtype=np.int32),
         )
 
     # left parent = block i, right parent = block i+1
     l = slice(0, n - 1)
     r = slice(1, n)
     should = (row.end[l] >= row.start[r]) & (row.req_r[l] | row.req_l[r])
+    if row.seg is not None:
+        should &= row.seg[l] == row.seg[r]  # never merge across reads
     (idx,) = np.nonzero(should)
     li, ri = idx, idx + 1
 
@@ -233,6 +243,7 @@ def merge_row(row: BlockRow) -> BlockRow:
         next_r=next_r,
         gap_dir=gap_dir,
         extra_gapmer=extra_gapmer,
+        seg=None if row.seg is None else row.seg[li],
     )
 
 
@@ -322,12 +333,26 @@ class GapmerRow:
         return np.where(self.primary, self.fwd, self.rev)
 
 
-def expand_gapmers(row: BlockRow, prefixes: GapmerPrefixes) -> GapmerRow:
+def expand_gapmers(
+    row: BlockRow,
+    prefixes: GapmerPrefixes,
+    seg_bounds: tuple[np.ndarray, np.ndarray] | None = None,
+) -> GapmerRow:
     """Vectorized HashBlock.withGapAndExtension (HashBlock.java:67-150) for every
     block in a row.  Blocks whose extension would run off the sequence are
-    dropped (the reference returns null for them)."""
+    dropped (the reference returns null for them).
+
+    For batched (concatenated) input, `seg_bounds` = (starts, ends) arrays
+    indexed by segment id bound each block's extension to its own read; the
+    modular prefix arithmetic telescopes within a read so global prefixes stay
+    exact."""
     n = len(row)
-    seq_len = prefixes.n
+    if seg_bounds is not None and row.seg is not None:
+        lo_bound = seg_bounds[0][row.seg]
+        hi_bound = seg_bounds[1][row.seg]
+    else:
+        lo_bound = np.int64(0)
+        hi_bound = np.int64(prefixes.n)
     length64 = row.length.astype(np.int64)
 
     # targetExtraLength = length + |max(fwd, rev)| % 3 + extraGapmerLength, with
@@ -355,14 +380,16 @@ def expand_gapmers(row: BlockRow, prefixes: GapmerPrefixes) -> GapmerRow:
     ext_start = np.where(left_gap, ext_start_l, np.where(right_gap, ext_start_r, 0))
     ext_end = np.where(left_gap, ext_end_l, np.where(right_gap, ext_end_r, 0))
 
-    valid = no_gap | (left_gap & (ext_start >= 0)) | (right_gap & (ext_end <= seq_len))
+    valid = no_gap | (left_gap & (ext_start >= lo_bound)) | (
+        right_gap & (ext_end <= hi_bound)
+    )
     (keep,) = np.nonzero(valid)
 
     k_left = left_gap[keep]
     k_right = right_gap[keep]
     k_no = no_gap[keep]
-    k_ext_start = np.clip(ext_start[keep], 0, seq_len)
-    k_ext_end = np.clip(ext_end[keep], 0, seq_len)
+    k_ext_start = np.clip(ext_start[keep], 0, prefixes.n)
+    k_ext_end = np.clip(ext_end[keep], 0, prefixes.n)
 
     ext_hash = np.zeros(keep.shape[0], dtype=np.int32)
     if np.any(k_left):

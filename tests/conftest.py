@@ -1,12 +1,17 @@
-"""Test configuration: force JAX onto a virtual 8-device CPU mesh so sharding
-tests run without TPU hardware (the driver separately dry-runs the multi-chip
-path)."""
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh so tests are
+hermetic and fast (the launch environment presets JAX_PLATFORMS=axon, which
+routes everything through the real TPU tunnel — env overrides alone do not
+stick, so set the config explicitly)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
