@@ -18,6 +18,13 @@ Public API (mirrors reference Api.java):
     AlignmentParameters         — the penalty model
 """
 
+import os as _os
+
+# Persistent compilation cache: TPU kernel compiles in this environment go
+# through a remote AOT service (~minutes); cache them on disk across processes.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mapper_tpu_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from mapper_tpu.align.params import AlignmentParameters
 from mapper_tpu.api import Api, ReferenceIndex
 

@@ -82,6 +82,8 @@ class DuplicationDetector:
         return self.min_size
 
     def get_window_number(self, index: int) -> int:
+        if self.window_size <= 1:
+            return index
         return index // self.window_size
 
     def may_contain_duplication_in_range(
