@@ -123,7 +123,8 @@ def _forward_dp(
     rules and the unaligned-query rule at the last reference row."""
     n = qc.shape[0]
     m = rc.shape[0]
-    sub = params.substitution_table().astype(np.float64)
+    codes = np.arange(16, dtype=np.uint8)
+    sub = params.base_penalty(codes[:, None], codes[None, :]).astype(np.float64)
 
     best = np.full((n + 1, m + 1), DISALLOWED)
     insx = np.full((n + 1, m + 1), DISALLOWED)
@@ -340,6 +341,33 @@ def _can_remove(block: AlignedBlock) -> bool:
     return False
 
 
+def _run_dp(qc, rc, params, may_extend, max_ins_ext, max_interesting):
+    """Fill + traceback, via the native library when available (the numpy
+    implementation is the semantic oracle; tests assert block equality).
+    Returns blocks in start->goal order, or None when no alignment fits."""
+    import os
+
+    if os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
+        from mapper_tpu.native import native_dp_align
+
+        native = native_dp_align(qc, rc, params, may_extend, max_ins_ext, max_interesting)
+        if native is not None:
+            blocks, _goal = native
+            if blocks.shape[0] == 0:
+                return None
+            return [tuple(int(v) for v in row) for row in blocks[::-1]]
+
+    best, insx, insy = _forward_dp(qc, rc, params, may_extend, max_ins_ext)
+    n = qc.shape[0]
+    goals = best[n, :]
+    goal_y = int(np.argmin(goals))  # tie -> smallest y (first goal reached)
+    goal_penalty = float(goals[goal_y])
+    if goal_penalty > max_interesting + 0.000001:
+        return None
+    raw = _traceback(best, insx, insy, goal_y, params, may_extend)
+    return raw if raw else None
+
+
 def path_align(
     query: Sequence,
     ref: Sequence,
@@ -368,23 +396,20 @@ def path_align(
 
     if search_reverse:
         may_extend = r_start == 0
-        best, insx, insy = _forward_dp(
-            qc[::-1], rc[::-1], params, may_extend, analysis.max_insertion_extension_penalty
-        )
+        dp_q, dp_r = qc[::-1], rc[::-1]
     else:
         may_extend = r_end == len(ref)
-        best, insx, insy = _forward_dp(
-            qc, rc, params, may_extend, analysis.max_insertion_extension_penalty
-        )
+        dp_q, dp_r = qc, rc
 
-    goals = best[n, :]
-    goal_y = int(np.argmin(goals))  # tie -> smallest y (first goal reached)
-    goal_penalty = float(goals[goal_y])
-    if goal_penalty > max_interesting + 0.000001:
-        return None
-
-    raw = _traceback(best, insx, insy, goal_y, params, may_extend)
-    if not raw:
+    raw = _run_dp(
+        dp_q,
+        dp_r,
+        params,
+        may_extend,
+        analysis.max_insertion_extension_penalty,
+        max_interesting,
+    )
+    if raw is None or not raw:
         return None
 
     blocks: list[AlignedBlock] = []
