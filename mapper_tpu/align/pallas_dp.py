@@ -172,7 +172,56 @@ def banded_scores_reference(q_codes, w_codes, n, m, params, band: int):
     )
 
 
-def _pallas_kernel(q_ref, w_ref, n_ref, m_ref, p_ref, out_ref, *, band: int, lq: int):
+def _chunk_dp_step(x, state, q_char, w_slice, n, m, params_tuple, band):
+    """The DP update with the query char / window slice supplied directly
+    (chunked kernels take static in-chunk slices, avoiding per-step rolls)."""
+    best, ins_x, result = state
+    mutation, ambiguity, ins_open, ins_ext, del_open, del_ext = params_tuple
+    tile = best.shape[0]
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+
+    pen = _base_penalty(q_char, w_slice, mutation, ambiguity)
+    w_valid = (x + k_range) < m
+    active = x < n
+    diag_new = jnp.where(w_valid & active, best + pen, BIG)
+
+    ins_candidates = jnp.minimum(ins_x + ins_ext, best + ins_open)
+    ins_shifted = jnp.concatenate(
+        [ins_candidates[:, 1:], jnp.full((tile, 1), BIG, jnp.float32)], axis=1
+    )
+    ins_new = jnp.where(active, ins_shifted, BIG)
+
+    best_after = jnp.minimum(diag_new, ins_new)
+
+    shifted = jnp.concatenate(
+        [jnp.full((tile, 1), BIG, jnp.float32), best_after[:, :-1]], axis=1
+    )
+    chain = shifted + del_open
+    step = 1
+    while step < band:
+        moved = jnp.concatenate(
+            [jnp.full((tile, step), BIG, jnp.float32), chain[:, :-step]], axis=1
+        )
+        chain = jnp.minimum(chain, moved + step * del_ext)
+        step *= 2
+    chain = jnp.where(w_valid & active, chain, BIG)
+
+    best_new = jnp.minimum(best_after, chain)
+    best_new = jnp.where(active, best_new, best)
+    ins_x_new = jnp.where(active, ins_new, ins_x)
+
+    finished = (x + 1) == n
+    tail_valid = ((x + 1) + k_range) <= m
+    finals = jnp.where(tail_valid, best_new, BIG)
+    captured = jnp.min(finals, axis=1)
+    result = jnp.where(finished[:, 0], captured, result)
+    return best_new, ins_x_new, result
+
+
+DEFAULT_CHUNK = 128  # lane-aligned x-chunk so every ref slice is statically aligned
+
+
+def _pallas_kernel(q_ref, w_ref, n_ref, m_ref, p_ref, out_ref, *, band: int, lq: int, chunk: int):
     tile = q_ref.shape[0]
     n = n_ref[:]
     m = m_ref[:]
@@ -183,21 +232,37 @@ def _pallas_kernel(q_ref, w_ref, n_ref, m_ref, p_ref, out_ref, *, band: int, lq:
     ins0 = jnp.full((tile, band), BIG, jnp.float32)
     res0 = jnp.full((tile,), BIG, jnp.float32)
 
-    def body(x, state):
-        return _dp_step(x, state, n, m, params_tuple, band)
+    num_chunks = lq // chunk  # lq is padded to a chunk multiple by the wrapper
 
-    state0 = (best0, ins0, res0, q_ref[:], w_ref[:])
-    _, _, result, _, _ = jax.lax.fori_loop(0, lq, body, state0)
+    def chunk_body(c, state):
+        x0 = pl.multiple_of(c * chunk, chunk)
+        q_chunk = q_ref[:, pl.ds(x0, chunk)]
+        w_chunk = w_ref[:, pl.ds(x0, chunk + band)]
+        for j in range(chunk):
+            x = c * chunk + j
+            state = _chunk_dp_step(
+                x,
+                state,
+                q_chunk[:, j : j + 1],
+                w_chunk[:, j : j + band],
+                n,
+                m,
+                params_tuple,
+                band,
+            )
+        return state
+
+    _, _, result = jax.lax.fori_loop(0, num_chunks, chunk_body, (best0, ins0, res0))
     out_ref[:] = result.reshape(tile, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
-def _banded_scores_pallas(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret", "chunk"))
+def _banded_scores_pallas(q_codes, w_codes, n, m, params_vec, band, tile, interpret, chunk):
     b = q_codes.shape[0]
     lq = q_codes.shape[1]
     lw = w_codes.shape[1]
     grid = (b // tile,)
-    kernel = functools.partial(_pallas_kernel, band=band, lq=lq)
+    kernel = functools.partial(_pallas_kernel, band=band, lq=lq, chunk=chunk)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -225,6 +290,7 @@ def banded_scores(
     tile: int = 64,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    chunk: int = DEFAULT_CHUNK,
 ):
     """Batched banded-DP scores.
 
@@ -241,6 +307,16 @@ def banded_scores(
     if not use_pallas:
         return _banded_scores_jnp(q_codes, w_codes, n, m, _params_tuple(params), band)
 
+    # pad query length to a chunk multiple (the kernel reads lane-aligned
+    # chunks) and the window to cover the last chunk's band slice
+    lq_padded = -(-q_codes.shape[1] // chunk) * chunk
+    if lq_padded != q_codes.shape[1]:
+        q_codes = jnp.pad(q_codes, ((0, 0), (0, lq_padded - q_codes.shape[1])))
+    if w_codes.shape[1] < lq_padded + band:
+        w_codes = jnp.pad(
+            w_codes, ((0, 0), (0, lq_padded + band - w_codes.shape[1]))
+        )
+
     padded_b = -(-b // tile) * tile
     if padded_b != b:
         pad = padded_b - b
@@ -250,6 +326,6 @@ def banded_scores(
         m = jnp.pad(m, ((0, pad), (0, 0)), constant_values=1)
     params_vec = jnp.array([_params_tuple(params)], dtype=jnp.float32)
     scores = _banded_scores_pallas(
-        q_codes, w_codes, n, m, params_vec, band, tile, interpret
+        q_codes, w_codes, n, m, params_vec, band, tile, interpret, chunk
     )
     return scores[:b]

@@ -121,13 +121,17 @@ def generate_candidates(
     max_candidates_per_read: int = 8,
     min_votes: int = 1,
     offset_merge_distance: int = 0,
+    max_matches_per_seed: int = 12,
 ) -> CandidateTable:
     """Seed lookup + offset voting for a whole batch.
 
-    Each gapmer whose index bin is within its per-size cap contributes one vote
-    per stored position to the implied (read, strand, contig, offset); the
-    top-voted offsets per read become candidates.  `offset_merge_distance`
-    merges nearby offsets (indel tolerance) by bucketing before voting.
+    Each gapmer whose index bin holds at most `max_matches_per_seed` positions
+    contributes one vote per stored position to the implied (read, strand,
+    contig, offset); the top-voted offsets per read become candidates (seeds
+    with more matches are uninformative for voting — the same sweet-spot logic
+    as the reference's adaptive walk, HashBlockPath.java:153-160).
+    `offset_merge_distance` merges nearby offsets (indel tolerance) by
+    bucketing before voting.
     """
     seg, block_start, block_len, num_bp, key, primary = collect_batch_seeds(batch, database)
     if seg.shape[0] == 0:
@@ -144,7 +148,9 @@ def generate_candidates(
         sel = np.nonzero(num_bp == size)[0]
         bins = m.bin_of(key[sel])
         counts = m.counts[bins]
-        usable = (counts > 0) & (counts <= m.max_interesting_count)
+        usable = (counts > 0) & (
+            counts <= min(m.max_interesting_count, max_matches_per_seed)
+        )
         sel = sel[usable]
         if sel.shape[0] == 0:
             continue
@@ -211,22 +217,27 @@ def generate_candidates(
     else:
         bucket = offset
 
-    # vote: count identical (read, reversed, seq, bucket) rows
-    order = np.lexsort((bucket, seq_idx, reversed_, read))
-    read, reversed_, seq_idx, offset, bucket = (
+    # vote: pack (read, reversed, seq, bucket) into one int64 key and count
+    # identical rows with a single sort pass
+    max_len = int(batch.lengths.max()) if batch.num_reads else 1
+    n_seqs = seq_db.get_num_sequences()
+    longest_contig = int(max((len(s) for s in seq_db.get_all()), default=1))
+    span = longest_contig + 2 * max_len + 2
+    bias = max_len + 1
+    packed = (
+        ((read.astype(np.int64) * 2 + reversed_) * n_seqs + seq_idx) * span
+        + (bucket + bias)
+    )
+    order = np.argsort(packed, kind="stable")
+    packed = packed[order]
+    read, reversed_, seq_idx, offset = (
         read[order],
         reversed_[order],
         seq_idx[order],
         offset[order],
-        bucket[order],
     )
-    boundary = np.ones(read.shape[0], dtype=bool)
-    boundary[1:] = (
-        (read[1:] != read[:-1])
-        | (reversed_[1:] != reversed_[:-1])
-        | (seq_idx[1:] != seq_idx[:-1])
-        | (bucket[1:] != bucket[:-1])
-    )
+    boundary = np.ones(packed.shape[0], dtype=bool)
+    boundary[1:] = packed[1:] != packed[:-1]
     group_ids = np.cumsum(boundary) - 1
     votes = np.bincount(group_ids).astype(np.int32)
     first = np.nonzero(boundary)[0]

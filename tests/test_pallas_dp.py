@@ -84,7 +84,7 @@ def test_pallas_interpret_matches_jnp():
     pallas_scores = np.asarray(
         pallas_dp.banded_scores(
             q_arr, w_arr, n_arr, m_arr, params, band=band, tile=tile,
-            use_pallas=True, interpret=True,
+            use_pallas=True, interpret=True, chunk=16,
         )
     )
     np.testing.assert_allclose(pallas_scores, jnp_scores, atol=1e-5)
