@@ -70,15 +70,18 @@ class BatchAligner:
         results: list[QueryAlignments | None] = [None] * len(queries)
 
         batch_indices: list[int] = []
+        paired_indices: list[int] = []
         fallback_indices: list[int] = []
         for i, query in enumerate(queries):
-            seq = query.get_sequence(0)
-            if (
-                query.get_num_sequences() == 1
-                and len(seq) <= self.max_query_length
-                and not bool(np.any(basepairs.is_ambiguous(seq.codes)))
-            ):
+            clean = all(
+                len(s) <= self.max_query_length
+                and not bool(np.any(basepairs.is_ambiguous(s.codes)))
+                for s in query.get_sequences()
+            )
+            if query.get_num_sequences() == 1 and clean:
                 batch_indices.append(i)
+            elif query.get_num_sequences() == 2 and clean:
+                paired_indices.append(i)
             else:
                 fallback_indices.append(i)
 
@@ -91,12 +94,96 @@ class BatchAligner:
                 else:
                     results[i] = batch_results[local]
 
+        if paired_indices:
+            paired_queries = [queries[i] for i in paired_indices]
+            paired_results = self._align_paired_batch(paired_queries)
+            for local, i in enumerate(paired_indices):
+                if paired_results[local] is None:
+                    fallback_indices.append(i)
+                else:
+                    results[i] = paired_results[local]
+
         for i in fallback_indices:
             self.stats_fallback_reads += 1
             results[i] = self.fallback_worker.align(queries[i])
 
         for listener in self.listeners:
             listener.add_alignments(results)
+        return results
+
+    # ------------------------------------------------------------------
+
+    def _align_paired_batch(self, queries: list[Query]) -> list[QueryAlignments | None]:
+        """Paired-end batch path: one batched candidate pass over both mates'
+        component sequences, then exact pairing + extension
+        (query_aligner.py's algebra with the native DP) on the trimmed
+        candidate set.  Falls back per pair when nothing pairs."""
+        from mapper_tpu.align.candidates import PathsCounter, SequenceMatch
+        from mapper_tpu.align.query_aligner import QueryMatchAligner
+
+        p = self.parameters
+        components: list[Sequence] = []
+        for query in queries:
+            components.append(query.get_sequence(0))
+            components.append(query.get_sequence(1).reverse_complement())
+        batch = ReadBatch.from_sequences(components)
+        table = generate_candidates(
+            batch, self.database, max_candidates_per_read=self.max_candidates_per_read
+        )
+        order = np.argsort(table.read_id, kind="stable")
+        boundaries = np.searchsorted(
+            table.read_id[order], np.arange(2 * len(queries) + 1)
+        )
+
+        results: list[QueryAlignments | None] = []
+        for pair_idx, query in enumerate(queries):
+            max_interesting = query.get_length() * p.max_error_rate
+            max_inner = int(
+                max_interesting * query.get_spacing_deviation_per_unit_penalty()
+                + query.get_expected_inner_distance()
+            )
+            counters_per_component = []
+            for ci in range(2):
+                read_id = 2 * pair_idx + ci
+                rows = order[boundaries[read_id] : boundaries[read_id + 1]]
+                component_seq = components[read_id]
+                shims = []
+                for c in rows.tolist():
+                    ref = self.seq_db.get_sequence(int(table.ref_seq_index[c]))
+                    if table.reversed_[c]:
+                        seq_a = component_seq.reverse_complement()
+                    else:
+                        seq_a = component_seq
+                    match = SequenceMatch(seq_a, ref, int(table.offset[c]))
+                    shims.append(_CounterShim(match))
+                counters_per_component.append(shims)
+
+            paths_counter = PathsCounter.__new__(PathsCounter)
+            paths_counter.components = []
+            paths_counter.max_offset_between_components = max_inner + len(
+                query.get_sequence(0)
+            )
+            paths_counter.found_nonempty_result = True
+            paths_counter._prev_components = None
+            paths_counter._prev_matches = None
+            pair_matches = paths_counter._match_without_cache(counters_per_component)
+
+            if not pair_matches:
+                results.append(None)
+                continue
+            aligner = QueryMatchAligner(query, p, self.reference_index)
+            for match in pair_matches:
+                aligner.align(match)
+            best = aligner.get_best_alignments()
+            if not best:
+                results.append(None)  # mate-rescue paths: sequential fallback
+                continue
+            if len(best) > p.max_num_matches:
+                results.append(QueryAlignments.unaligned(query.get_sequences()))
+                continue
+            results.append(
+                QueryAlignments.single_component(query.get_sequences(), best)
+            )
         return results
 
     # ------------------------------------------------------------------
@@ -255,6 +342,19 @@ class BatchAligner:
         if alignment.get_penalty() > max_allowed:
             return None
         return QueryAlignment(alignment)
+
+
+class _CounterShim:
+    """Just enough of MatchCounter for PathsCounter pairing."""
+
+    __slots__ = ("match", "priority")
+
+    def __init__(self, match):
+        self.match = match
+        self.priority = 0
+
+    def get_num_distinct_mismatches(self) -> int:
+        return 0
 
 
 def _base_penalty_np(q, w, params):

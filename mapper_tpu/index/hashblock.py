@@ -260,16 +260,19 @@ class GapmerPrefixes:
         ].astype(np.uint64)
 
         mod_mask = np.uint64(0xFFFFFFFF)
-        pow_b = np.empty(n + 1, dtype=np.uint64)
-        inv_pow_b = np.empty(n + 1, dtype=np.uint64)
-        pow_b[0] = 1
-        inv_pow_b[0] = 1
         b = np.uint64(GAPMER_MULTIPLIER)
         ib = np.uint64(_GAPMER_MULTIPLIER_INVERSE)
         with np.errstate(over="ignore"):
-            for i in range(1, n + 1):
-                pow_b[i] = (pow_b[i - 1] * b) & mod_mask
-                inv_pow_b[i] = (inv_pow_b[i - 1] * ib) & mod_mask
+            # cumulative powers mod 2^32: uint64 wraparound preserves the low
+            # 32 bits of products (2^32 divides 2^64), so one accumulate + mask
+            pow_b = np.full(n + 1, b, dtype=np.uint64)
+            pow_b[0] = 1
+            np.multiply.accumulate(pow_b, out=pow_b)
+            pow_b &= mod_mask
+            inv_pow_b = np.full(n + 1, ib, dtype=np.uint64)
+            inv_pow_b[0] = 1
+            np.multiply.accumulate(inv_pow_b, out=inv_pow_b)
+            inv_pow_b &= mod_mask
             # left-gap hash: H = sum_{i in [s,e)} fwd_vals[i] * B^(i - s)
             #              = invB^s * sum fwd_vals[i] * B^i        (mod 2^32)
             r_terms = (fwd_vals * pow_b[:n]) & mod_mask

@@ -91,7 +91,7 @@ def test_batch_engine_finds_true_position(sim):
         assert any(r[1] == pos and r[2] == reverse for r in rows), (i, rows, truths[i])
 
 
-def test_batch_engine_falls_back_for_paired():
+def test_batch_engine_paired_path():
     ref_text = random_text(1000, 7)
     index = Api.new_database({"chr": ref_text})
     params = AlignmentParameters.defaults()
@@ -105,4 +105,51 @@ def test_batch_engine_falls_back_for_paired():
     assert len(alignments) == 1
     assert alignments[0].get_component(0).get_start_index_b() == 100
     assert alignments[0].get_component(1).get_start_index_b() == 260
-    assert engine.stats_fallback_reads == 1
+    assert engine.stats_fallback_reads == 0  # handled by the paired batch path
+
+
+def test_batch_engine_paired_matches_sequential():
+    ref_text = random_text(20000, 70)
+    index = Api.new_database({"chr": ref_text})
+    params = AlignmentParameters.defaults()
+    rng = np.random.default_rng(71)
+    queries = []
+    for i in range(20):
+        pos = int(rng.integers(0, 20000 - 400))
+        frag_len = int(rng.integers(250, 400))
+        frag = list(ref_text[pos : pos + frag_len])
+        for _ in range(int(rng.integers(0, 3))):
+            j = int(rng.integers(0, frag_len))
+            frag[j] = {"A": "C", "C": "G", "G": "T", "T": "A"}[frag[j]]
+        frag = "".join(frag)
+        m1 = frag[:150]
+        m2_codes = basepairs.reverse_complement(basepairs.encode(frag[-150:]))
+        m1_seq = Sequence.from_text(f"p{i}/1", m1)
+        m2_seq = Sequence.from_text(f"p{i}/2", basepairs.decode(m2_codes))
+        queries.append(
+            Query([m1_seq, m2_seq], expected_inner_distance=25, spacing_deviation_per_unit_penalty=50)
+        )
+    engine = BatchAligner(index, params)
+    sequential = AlignerWorker(index, params)
+    batch_results = engine.process_batch(queries)
+
+    def summarize_pair(result):
+        out = []
+        for choice in result.get_first_alignments():
+            out.append(
+                tuple(
+                    (
+                        c.get_sequence_b().name,
+                        c.get_start_index_b(),
+                        c.is_reference_reversed(),
+                    )
+                    for c in choice.get_components()
+                )
+                + (round(choice.get_penalty(), 6),)
+            )
+        return sorted(out)
+
+    for i, query in enumerate(queries):
+        expected = summarize_pair(sequential.align(query))
+        got = summarize_pair(batch_results[i])
+        assert got == expected, f"pair {i}: {got} != {expected}"
