@@ -221,62 +221,81 @@ def _chunk_dp_step(x, state, q_char, w_slice, n, m, params_tuple, band):
 DEFAULT_CHUNK = 128  # lane-aligned x-chunk so every ref slice is statically aligned
 
 
-def _pallas_kernel(q_ref, w_ref, n_ref, m_ref, p_ref, out_ref, *, band: int, lq: int, chunk: int):
+def _pallas_kernel(
+    q_ref, w_ref, n_ref, m_ref, p_ref, out_ref, best_ref, insx_ref, res_ref,
+    *, band: int, chunk: int, num_chunks: int,
+):
+    """Grid = (batch tiles, x chunks); the DP state lives in scratch that
+    persists across the (fastest-iterating) chunk dimension, so every memory
+    access is a static slice of the pipelined chunk blocks — no unaligned
+    dynamic slicing for Mosaic to reject, and the pipeline double-buffers the
+    chunk DMAs."""
+    c = pl.program_id(1)
     tile = q_ref.shape[0]
     n = n_ref[:]
     m = m_ref[:]
     params_tuple = tuple(p_ref[0, i] for i in range(6))
 
-    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
-    best0 = jnp.where(k_range <= m, 0.0, BIG).astype(jnp.float32)
-    ins0 = jnp.full((tile, band), BIG, jnp.float32)
-    res0 = jnp.full((tile,), BIG, jnp.float32)
+    @pl.when(c == 0)
+    def _init():
+        k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+        best_ref[:] = jnp.where(k_range <= m, 0.0, BIG).astype(jnp.float32)
+        insx_ref[:] = jnp.full((tile, band), BIG, jnp.float32)
+        res_ref[:] = jnp.full((tile, 1), BIG, jnp.float32)
 
-    num_chunks = lq // chunk  # lq is padded to a chunk multiple by the wrapper
+    state = (best_ref[:], insx_ref[:], res_ref[:][:, 0])
+    q_chunk = q_ref[:]
+    w_chunk = w_ref[0]
+    for j in range(chunk):
+        x = c * chunk + j
+        state = _chunk_dp_step(
+            x,
+            state,
+            q_chunk[:, j : j + 1],
+            w_chunk[:, j : j + band],
+            n,
+            m,
+            params_tuple,
+            band,
+        )
+    best_ref[:], insx_ref[:], res = state
+    res_ref[:] = res.reshape(tile, 1)
 
-    def chunk_body(c, state):
-        x0 = pl.multiple_of(c * chunk, chunk)
-        q_chunk = q_ref[:, pl.ds(x0, chunk)]
-        w_chunk = w_ref[:, pl.ds(x0, chunk + band)]
-        for j in range(chunk):
-            x = c * chunk + j
-            state = _chunk_dp_step(
-                x,
-                state,
-                q_chunk[:, j : j + 1],
-                w_chunk[:, j : j + band],
-                n,
-                m,
-                params_tuple,
-                band,
-            )
-        return state
-
-    _, _, result = jax.lax.fori_loop(0, num_chunks, chunk_body, (best0, ins0, res0))
-    out_ref[:] = result.reshape(tile, 1)
+    @pl.when(c == num_chunks - 1)
+    def _finish():
+        out_ref[:] = res_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("band", "tile", "interpret", "chunk"))
-def _banded_scores_pallas(q_codes, w_codes, n, m, params_vec, band, tile, interpret, chunk):
+def _banded_scores_pallas(q_codes, w_chunks, n, m, params_vec, band, tile, interpret, chunk):
     b = q_codes.shape[0]
     lq = q_codes.shape[1]
-    lw = w_codes.shape[1]
-    grid = (b // tile,)
-    kernel = functools.partial(_pallas_kernel, band=band, lq=lq, chunk=chunk)
+    num_chunks = lq // chunk
+    grid = (b // tile, num_chunks)
+    kernel = functools.partial(
+        _pallas_kernel, band=band, chunk=chunk, num_chunks=num_chunks
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, lq), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, lw), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, chunk), lambda i, c: (i, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile, chunk + band), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, band), jnp.float32),
+            pltpu.VMEM((tile, band), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ],
         interpret=interpret,
-    )(q_codes, w_codes, n, m, params_vec)
+    )(q_codes, w_chunks, n, m, params_vec)
     return out[:, 0]
 
 
@@ -307,8 +326,8 @@ def banded_scores(
     if not use_pallas:
         return _banded_scores_jnp(q_codes, w_codes, n, m, _params_tuple(params), band)
 
-    # pad query length to a chunk multiple (the kernel reads lane-aligned
-    # chunks) and the window to cover the last chunk's band slice
+    # pad query length to a chunk multiple and build the halo'd per-chunk
+    # window array [B, num_chunks, chunk+band] the grid pipeline consumes
     lq_padded = -(-q_codes.shape[1] // chunk) * chunk
     if lq_padded != q_codes.shape[1]:
         q_codes = jnp.pad(q_codes, ((0, 0), (0, lq_padded - q_codes.shape[1])))
@@ -324,8 +343,18 @@ def banded_scores(
         w_codes = jnp.pad(w_codes, ((0, pad), (0, 0)))
         n = jnp.pad(n, ((0, pad), (0, 0)), constant_values=1)
         m = jnp.pad(m, ((0, pad), (0, 0)), constant_values=1)
+
+    num_chunks = lq_padded // chunk
+    w_np = np.asarray(w_codes)
+    windows = np.lib.stride_tricks.sliding_window_view(w_np, chunk + band, axis=1)
+    # layout [num_chunks, B, chunk+band]: the chunk axis leads so the block's
+    # trailing two dims satisfy the TPU (8, 128) block-shape rules
+    w_chunks = np.ascontiguousarray(
+        windows[:, ::chunk][:, :num_chunks].transpose(1, 0, 2)
+    )
+
     params_vec = jnp.array([_params_tuple(params)], dtype=jnp.float32)
     scores = _banded_scores_pallas(
-        q_codes, w_codes, n, m, params_vec, band, tile, interpret, chunk
+        q_codes, jnp.asarray(w_chunks), n, m, params_vec, band, tile, interpret, chunk
     )
     return scores[:b]

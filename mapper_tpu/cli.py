@@ -117,6 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     query_end_fraction = 0.1
     split_queries_past_size = -1
     has_paired_without_spacing = False
+    engine = "batch"  # "batch" = TPU pipeline with exact fallback; "exact" = sequential
 
     i = 0
     while i < len(args):
@@ -222,6 +223,11 @@ def main(argv: list[str] | None = None) -> int:
         elif arg == "--num-threads":
             num_threads = int(args[i + 1])
             i += 2
+        elif arg == "--engine":
+            engine = args[i + 1]
+            if engine not in ("batch", "exact"):
+                usage_error("--engine must be 'batch' or 'exact'")
+            i += 2
         elif arg == "--distinguish-query-ends":
             query_end_fraction = float(args[i + 1])
             i += 2
@@ -291,6 +297,7 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     return run(
+        engine=engine,
         reference_paths=reference_paths,
         query_providers=query_providers,
         cache_dir=cache_dir,
@@ -318,6 +325,7 @@ def main(argv: list[str] | None = None) -> int:
 def run(
     reference_paths,
     query_providers,
+    engine,
     cache_dir,
     allow_duplicate_contig_names,
     out_vcf_path,
@@ -446,6 +454,17 @@ def run(
 
     cache = AlignmentCache()
     worker = AlignerWorker(reference_index, parameters, listeners, cache)
+    if engine == "batch" and not guess_reference_ancestors:
+        from mapper_tpu.batch.engine import BatchAligner
+
+        engine_obj = BatchAligner(reference_index, parameters, listeners=listeners)
+        engine_obj.fallback_worker = AlignerWorker(reference_index, parameters, cache=cache)
+        worker_stats = engine_obj.fallback_worker.stats
+    else:
+        # ancestry mode aligns against overridden sequences; the batch path
+        # does not support the ancestral penalty base yet
+        engine_obj = worker
+        worker_stats = worker.stats
 
     num_loaded = 0
     batch: list = []
@@ -458,7 +477,7 @@ def run(
         batch.append(query_builder.build())
         batch_bases += batch[-1].get_length()
         if batch_bases >= max_bases_per_batch:
-            worker.process_batch(batch)
+            engine_obj.process_batch(batch)
             batch, batch_bases = [], 0
             now = time.time()
             if now - last_report >= 1.0:
@@ -467,7 +486,7 @@ def run(
                 log(f"Processing query {num_loaded} at {elapsed:.0f}s ({rate:.0f} q/s)")
                 last_report = now
     if batch:
-        worker.process_batch(batch)
+        engine_obj.process_batch(batch)
 
     # --- outputs ---------------------------------------------------------
 
@@ -516,9 +535,10 @@ def run(
     log(
         f" Average penalty               : {avg:.4g} per base ({int(total_pen)}/{int(total_len)}) in aligned queries"
     )
-    indels_per_base = worker.stats.num_indels / total_len if total_len else 0.0
+    num_indels = sum(indel_summarizer.extension_counts)
+    indels_per_base = num_indels / total_len if total_len else 0.0
     log(
-        f" Num indels                    : {indels_per_base:.4g} per base ({worker.stats.num_indels}/{int(total_len)}) in aligned queries"
+        f" Num indels                    : {indels_per_base:.4g} per base ({num_indels}/{int(total_len)}) in aligned queries"
     )
     table = DisplayTable()
     table.add_short_column(" ")
@@ -549,12 +569,12 @@ def run(
     log(table.format())
     log(
         f" Immediately accepted          : "
-        f"{worker.stats.num_immediately_accepted * 100 // max(1, num_queries)}% alignments "
-        f"({worker.stats.num_immediately_accepted}/{num_queries})"
+        f"{worker_stats.num_immediately_accepted * 100 // max(1, num_queries)}% alignments "
+        f"({worker_stats.num_immediately_accepted}/{num_queries})"
     )
     log(
-        f" Alignment cache usage         : {worker.stats.num_cache_hits} loaded, "
-        f"{cache.get_usage()} stored, {worker.stats.num_cache_skips} skipped"
+        f" Alignment cache usage         : {worker_stats.num_cache_hits} loaded, "
+        f"{cache.get_usage()} stored, {worker_stats.num_cache_skips} skipped"
     )
 
     if sam_stream is not None and sam_stream is not sys.stdout:
