@@ -16,10 +16,10 @@ for i in range(B):
     qs.append(np.pad(q,(0,LQ-n))); ws.append(np.pad(ref,(0,LQ+BAND-len(ref))))
     ns.append(n); ms.append(len(ref))
 qa, wa, na, ma = np.stack(qs), np.stack(ws), np.array(ns), np.array(ms)
-s = np.asarray(pallas_dp.banded_scores(qa, wa, na, ma, params, band=BAND, tile=128, chunk=128, use_pallas=True))
+s = np.asarray(pallas_dp.banded_scores(qa, wa, na, ma, params, band=BAND, tile=64, chunk=128, use_pallas=True))
 print("ok, sample:", s[:4])
 t0=time.time()
 for _ in range(5):
-    s = np.asarray(pallas_dp.banded_scores(qa, wa, na, ma, params, band=BAND, tile=128, chunk=128, use_pallas=True))
+    s = np.asarray(pallas_dp.banded_scores(qa, wa, na, ma, params, band=BAND, tile=64, chunk=128, use_pallas=True))
 dt=(time.time()-t0)/5
-print(f"tile=128 chunk=128: {dt*1000:.1f} ms for {B} -> {B/dt:.0f} pairs/s")
+print(f"tile=64 chunk=128: {dt*1000:.1f} ms for {B} -> {B/dt:.0f} pairs/s")
