@@ -6,7 +6,7 @@ from mapper_tpu.align.params import AlignmentParameters
 params = AlignmentParameters.defaults(max_error_rate=1.0)
 rng = np.random.default_rng(3)
 LQ, BAND, SHIFT = 160, 128, 32
-B = 1024
+B = 4096
 bases = np.array([1,2,4,8], dtype=np.uint8)
 qs, ws, ns, ms = [], [], [], []
 for i in range(B):
@@ -16,10 +16,14 @@ for i in range(B):
     qs.append(np.pad(q,(0,LQ-n))); ws.append(np.pad(ref,(0,LQ+BAND-len(ref))))
     ns.append(n); ms.append(len(ref))
 qa, wa, na, ma = np.stack(qs), np.stack(ws), np.array(ns), np.array(ms)
-s = np.asarray(pallas_dp.banded_scores(qa, wa, na, ma, params, band=BAND, tile=128, chunk=64, use_pallas=True))
-print("ok, sample:", s[:4])
-t0=time.time()
-for _ in range(5):
-    s = np.asarray(pallas_dp.banded_scores(qa, wa, na, ma, params, band=BAND, tile=128, chunk=64, use_pallas=True))
-dt=(time.time()-t0)/5
-print(f"tile=128 chunk=64: {dt*1000:.1f} ms for {B} -> {B/dt:.0f} pairs/s")
+
+for tile in (512, 1024):
+    try:
+        s = np.asarray(pallas_dp.banded_scores(qa, wa, na, ma, params, band=BAND, tile=tile, use_pallas=True, variant="roll"))
+        t0=time.time()
+        for _ in range(5):
+            s = np.asarray(pallas_dp.banded_scores(qa, wa, na, ma, params, band=BAND, tile=tile, use_pallas=True, variant="roll"))
+        dt=(time.time()-t0)/5
+        print(f"roll tile={tile}: {dt*1000:.1f} ms for {B} -> {B/dt:.0f} pairs/s, {B*160*BAND/dt/1e9:.2f} GCUPS", flush=True)
+    except Exception as e:
+        print(f"roll tile={tile} FAILED: {str(e)[:160]}", flush=True)

@@ -266,6 +266,51 @@ def _pallas_kernel(
         out_ref[:] = res_ref[:]
 
 
+def _pallas_kernel_roll(q_ref, w_ref, n_ref, m_ref, p_ref, out_ref, *, band: int, lq: int):
+    """The roll-variant kernel: whole query/window arrays carried through the
+    x loop, shifted one lane per step (same math as the jnp oracle)."""
+    tile = q_ref.shape[0]
+    n = n_ref[:]
+    m = m_ref[:]
+    params_tuple = tuple(p_ref[0, i] for i in range(6))
+
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+    best0 = jnp.where(k_range <= m, 0.0, BIG).astype(jnp.float32)
+    ins0 = jnp.full((tile, band), BIG, jnp.float32)
+    res0 = jnp.full((tile,), BIG, jnp.float32)
+
+    def body(x, state):
+        return _dp_step(x, state, n, m, params_tuple, band)
+
+    state0 = (best0, ins0, res0, q_ref[:], w_ref[:])
+    _, _, result, _, _ = jax.lax.fori_loop(0, lq, body, state0)
+    out_ref[:] = result.reshape(tile, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
+def _banded_scores_pallas_roll(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+    b = q_codes.shape[0]
+    lq = q_codes.shape[1]
+    lw = w_codes.shape[1]
+    grid = (b // tile,)
+    kernel = functools.partial(_pallas_kernel_roll, band=band, lq=lq)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, lq), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, lw), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        interpret=interpret,
+    )(q_codes, w_codes, n, m, params_vec)
+    return out[:, 0]
+
+
 @functools.partial(jax.jit, static_argnames=("band", "tile", "interpret", "chunk"))
 def _banded_scores_pallas(q_codes, w_chunks, n, m, params_vec, band, tile, interpret, chunk):
     b = q_codes.shape[0]
@@ -306,10 +351,11 @@ def banded_scores(
     m,
     params,
     band: int = 128,
-    tile: int = 64,
+    tile: int = 256,
     use_pallas: bool | None = None,
     interpret: bool = False,
     chunk: int = DEFAULT_CHUNK,
+    variant: str = "roll",
 ):
     """Batched banded-DP scores.
 
@@ -344,6 +390,13 @@ def banded_scores(
         n = jnp.pad(n, ((0, pad), (0, 0)), constant_values=1)
         m = jnp.pad(m, ((0, pad), (0, 0)), constant_values=1)
 
+    params_vec = jnp.array([_params_tuple(params)], dtype=jnp.float32)
+    if variant == "roll":
+        scores = _banded_scores_pallas_roll(
+            q_codes, w_codes, n, m, params_vec, band, tile, interpret
+        )
+        return scores[:b]
+
     num_chunks = lq_padded // chunk
     w_np = np.asarray(w_codes)
     windows = np.lib.stride_tricks.sliding_window_view(w_np, chunk + band, axis=1)
@@ -352,8 +405,6 @@ def banded_scores(
     w_chunks = np.ascontiguousarray(
         windows[:, ::chunk][:, :num_chunks].transpose(1, 0, 2)
     )
-
-    params_vec = jnp.array([_params_tuple(params)], dtype=jnp.float32)
     scores = _banded_scores_pallas(
         q_codes, jnp.asarray(w_chunks), n, m, params_vec, band, tile, interpret, chunk
     )
