@@ -53,10 +53,16 @@ def main():
     from mapper_tpu.align.query import Query
     from mapper_tpu.batch.engine import BatchAligner
 
+    def note(message):
+        print(f"[bench {time.time() - t_start:7.1f}s] {message}", file=sys.stderr, flush=True)
+
+    t_start = time.time()
     ref_text, reads = simulate()
+    note("simulated reads")
     t_index0 = time.time()
     index = Api.new_database({"chr1": ref_text})
     index_seconds = time.time() - t_index0
+    note(f"index built in {index_seconds:.1f}s")
 
     params = AlignmentParameters.defaults()
     engine = BatchAligner(index, params)
@@ -64,10 +70,12 @@ def main():
 
     # warmup (compiles the kernel for this shape bucket)
     engine.process_batch(queries[:256])
+    note("warmup done (kernel compiled)")
 
     t0 = time.time()
     results = engine.process_batch(queries)
     elapsed = time.time() - t0
+    note(f"aligned {len(queries)} reads in {elapsed:.1f}s")
 
     aligned = sum(1 for r in results if r.get_total_of_all_components() > 0)
     reads_per_second = len(queries) / elapsed

@@ -344,6 +344,122 @@ def _banded_scores_pallas(q_codes, w_chunks, n, m, params_vec, band, tile, inter
     return out[:, 0]
 
 
+def _pen_kernel(pen_ref, n_ref, m_ref, p_ref, out_ref, best_ref, insx_ref, res_ref,
+                *, band: int, lq: int):
+    """The "pen" variant: per-base penalties are precomputed by XLA into a
+    [LQ, B, BAND] tensor that the grid pipeline streams in; each grid step is
+    one pure DP update on [TILE, BAND] state — no rolls, no code handling.
+
+    grid = (batch tiles, x); scratch carries the state across x."""
+    x = pl.program_id(1)
+    tile = best_ref.shape[0]
+    n = n_ref[:]
+    m = m_ref[:]
+    _mut, _amb, ins_open, ins_ext, del_open, del_ext = tuple(
+        p_ref[0, i] for i in range(6)
+    )
+
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+
+    @pl.when(x == 0)
+    def _init():
+        best_ref[:] = jnp.where(k_range <= m, 0.0, BIG).astype(jnp.float32)
+        insx_ref[:] = jnp.full((tile, band), BIG, jnp.float32)
+        res_ref[:] = jnp.full((tile, 1), BIG, jnp.float32)
+
+    best = best_ref[:]
+    ins_x = insx_ref[:]
+    result = res_ref[:][:, 0]
+
+    pen = pen_ref[0]
+    w_valid = (x + k_range) < m
+    active = x < n
+    diag_new = jnp.where(w_valid & active, best + pen, BIG)
+
+    ins_candidates = jnp.minimum(ins_x + ins_ext, best + ins_open)
+    ins_shifted = jnp.concatenate(
+        [ins_candidates[:, 1:], jnp.full((tile, 1), BIG, jnp.float32)], axis=1
+    )
+    ins_new = jnp.where(active, ins_shifted, BIG)
+
+    best_after = jnp.minimum(diag_new, ins_new)
+
+    shifted = jnp.concatenate(
+        [jnp.full((tile, 1), BIG, jnp.float32), best_after[:, :-1]], axis=1
+    )
+    chain = shifted + del_open
+    step = 1
+    while step < band:
+        moved = jnp.concatenate(
+            [jnp.full((tile, step), BIG, jnp.float32), chain[:, :-step]], axis=1
+        )
+        chain = jnp.minimum(chain, moved + step * del_ext)
+        step *= 2
+    chain = jnp.where(w_valid & active, chain, BIG)
+
+    best_new = jnp.minimum(best_after, chain)
+    best_new = jnp.where(active, best_new, best)
+    ins_x_new = jnp.where(active, ins_new, ins_x)
+
+    finished = (x + 1) == n
+    tail_valid = ((x + 1) + k_range) <= m
+    finals = jnp.where(tail_valid, best_new, BIG)
+    captured = jnp.min(finals, axis=1)
+    result = jnp.where(finished[:, 0], captured, result)
+
+    best_ref[:] = best_new
+    insx_ref[:] = ins_x_new
+    res_ref[:] = result.reshape(tile, 1)
+
+    @pl.when(x == lq - 1)
+    def _finish():
+        out_ref[:] = res_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
+def _banded_scores_pallas_pen(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+    b = q_codes.shape[0]
+    lq = q_codes.shape[1]
+    # penalty tensor [LQ, B, BAND] built with a bounded scan (a naive window
+    # stack makes XLA materialize catastrophically large intermediates); the
+    # scan also accumulates the per-diagonal ungapped sums for free
+    mutation = params_vec[0, 0]
+    ambiguity = params_vec[0, 1]
+
+    def pen_step(acc, x):
+        q_char = jax.lax.dynamic_slice_in_dim(q_codes, x, 1, axis=1)
+        w_slice = jax.lax.dynamic_slice_in_dim(w_codes, x, band, axis=1)
+        pen_x = _base_penalty(q_char, w_slice, mutation, ambiguity)
+        acc = acc + jnp.where(x < n, pen_x, 0.0)
+        return acc, pen_x
+
+    diag_sums, pen = jax.lax.scan(
+        pen_step, jnp.zeros((b, band), jnp.float32), jnp.arange(lq)
+    )  # diag_sums [B, BAND]: ungapped penalty per window diagonal
+
+    grid = (b // tile, lq)
+    kernel = functools.partial(_pen_kernel, band=band, lq=lq)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, band), lambda i, x: (x, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, x: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, x: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6), lambda i, x: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i, x: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile, band), jnp.float32),
+            pltpu.VMEM((tile, band), jnp.float32),
+            pltpu.VMEM((tile, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pen, n, m, params_vec)
+    return out[:, 0], diag_sums
+
+
 def banded_scores(
     q_codes,
     w_codes,
@@ -355,7 +471,8 @@ def banded_scores(
     use_pallas: bool | None = None,
     interpret: bool = False,
     chunk: int = DEFAULT_CHUNK,
-    variant: str = "roll",
+    variant: str = "pen",
+    return_diag_sums: bool = False,
 ):
     """Batched banded-DP scores.
 
@@ -391,6 +508,13 @@ def banded_scores(
         m = jnp.pad(m, ((0, pad), (0, 0)), constant_values=1)
 
     params_vec = jnp.array([_params_tuple(params)], dtype=jnp.float32)
+    if variant == "pen":
+        scores, diag_sums = _banded_scores_pallas_pen(
+            q_codes, w_codes, n, m, params_vec, band, tile, interpret
+        )
+        if return_diag_sums:
+            return scores[:b], diag_sums[:b]
+        return scores[:b]
     if variant == "roll":
         scores = _banded_scores_pallas_roll(
             q_codes, w_codes, n, m, params_vec, band, tile, interpret

@@ -256,7 +256,9 @@ def generate_candidates(
         votes[keep],
     )
 
-    # top-K per read by votes: sort by (read, -votes) and cut
+    # top-K per read by votes: sort by (read, -votes) and cut; also drop
+    # candidates far below their read's top vote (hash-collision noise) —
+    # unless the top itself is weak, in which case everything stays in play
     order = np.lexsort((-votes, g_read))
     g_read, g_reversed, g_seq, g_offset, votes = (
         g_read[order],
@@ -266,7 +268,15 @@ def generate_candidates(
         votes[order],
     )
     rank = _rank_within_groups(g_read)
+    n_rows = g_read.shape[0]
+    idx = np.arange(n_rows, dtype=np.int64)
+    boundary = np.ones(n_rows, dtype=bool)
+    if n_rows:
+        boundary[1:] = g_read[1:] != g_read[:-1]
+    group_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+    top_votes = votes[group_start]
     keep = rank < max_candidates_per_read
+    keep &= (top_votes < 6) | (votes * 3 >= top_votes)
     return CandidateTable(
         g_read[keep].astype(np.int32),
         g_reversed[keep],

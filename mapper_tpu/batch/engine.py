@@ -46,16 +46,18 @@ class BatchAligner:
         self,
         reference_index,
         parameters,
-        band: int = 128,
+        band: int | None = None,
         max_query_length: int = 512,
         max_candidates_per_read: int = 8,
         listeners: list | None = None,
+        tile: int = 1024,
     ):
         self.reference_index = reference_index
         self.database = reference_index.hashblock_database
         self.seq_db = self.database.get_sequence_database()
         self.parameters = parameters
-        self.band = band
+        self.band = band  # None = choose 64/128 per batch from the indel budget
+        self.tile = tile
         self.max_query_length = max_query_length
         self.max_candidates_per_read = max_candidates_per_read
         self.listeners = listeners if listeners is not None else []
@@ -206,7 +208,11 @@ class BatchAligner:
                 / p.deletion_extension_penalty
             ).astype(np.int64),
         )
-        shift = np.minimum(max_indel, self.band // 2)
+        if self.band is not None:
+            band = self.band
+        else:
+            band = 64 if int(max_indel.max(initial=0)) <= 31 else 128
+        shift = np.minimum(max_indel, band // 2)
 
         table = generate_candidates(
             batch, self.database, max_candidates_per_read=self.max_candidates_per_read
@@ -229,8 +235,10 @@ class BatchAligner:
             table.offset + n_per_cand + shift_per_cand > contig_len
         )
 
-        lq = int(batch.lengths.max())
-        lw = lq + self.band
+        # bucket the padded query length so the kernel compiles once per size
+        # class instead of once per batch
+        lq = -(-int(batch.lengths.max()) // 64) * 64
+        lw = lq + band
         num_cands = len(table)
 
         # query codes per candidate (RC codes for reverse-strand candidates)
@@ -250,60 +258,89 @@ class BatchAligner:
         w_idx = np.minimum(w_idx, self.concat.shape[0] - 1)
         w_codes = self.concat[w_idx]
 
-        banded = np.asarray(
-            pallas_dp.banded_scores(
-                q_codes, w_codes, n_per_cand, w_len, p, band=self.band
-            ),
-            dtype=np.float64,
-        )
+        import jax
 
-        # ungapped penalty at the voted offset (only meaningful off-edge)
         in_contig = (table.offset >= 0) & (table.offset + n_per_cand <= contig_len)
-        diag_start = seq_starts[table.ref_seq_index] + np.clip(
-            table.offset, 0, None
-        )
-        d_idx = diag_start[:, None] + np.arange(lq, dtype=np.int64)[None, :]
-        d_idx = np.minimum(d_idx, self.concat.shape[0] - 1)
-        ref_diag = self.concat[d_idx]
-        x_valid = np.arange(lq)[None, :] < n_per_cand[:, None]
-        pen = _base_penalty_np(q_codes, ref_diag, p)
-        ungapped = np.where(x_valid, pen, 0.0).sum(axis=1)
-        ungapped = np.where(in_contig, ungapped, np.inf)
+        use_device_diag = jax.default_backend() == "tpu"
+        if use_device_diag:
+            banded_dev, diag_dev = pallas_dp.banded_scores(
+                q_codes,
+                w_codes,
+                n_per_cand,
+                w_len,
+                p,
+                band=band,
+                tile=self.tile,
+                return_diag_sums=True,
+            )
+            banded = np.asarray(banded_dev, dtype=np.float64)
+            diag_sums = np.asarray(diag_dev, dtype=np.float64)
+            # the voted offset's diagonal is band lane (offset - window start)
+            lane = (table.offset - win_start_local).astype(np.int64)
+            lane_valid = (lane >= 0) & (lane < band)
+            ungapped = np.where(
+                in_contig & lane_valid,
+                diag_sums[np.arange(num_cands), np.clip(lane, 0, band - 1)],
+                np.inf,
+            )
+        else:
+            banded = np.asarray(
+                pallas_dp.banded_scores(
+                    q_codes, w_codes, n_per_cand, w_len, p, band=band, tile=self.tile
+                ),
+                dtype=np.float64,
+            )
+            diag_start = seq_starts[table.ref_seq_index] + np.clip(table.offset, 0, None)
+            d_idx = diag_start[:, None] + np.arange(lq, dtype=np.int64)[None, :]
+            d_idx = np.minimum(d_idx, self.concat.shape[0] - 1)
+            ref_diag = self.concat[d_idx]
+            x_valid = np.arange(lq)[None, :] < n_per_cand[:, None]
+            pen = _base_penalty_np(q_codes, ref_diag, p)
+            ungapped = np.where(x_valid, pen, 0.0).sum(axis=1)
+            ungapped = np.where(in_contig, ungapped, np.inf)
 
-        # --- per-read decisions ----------------------------------------
-        max_allowed = np.nextafter(
-            n_per_cand * p.max_error_rate, np.inf
-        )
+        # --- per-read decisions (vectorized over the candidate table) ----
+        max_allowed = np.nextafter(n_per_cand * p.max_error_rate, np.inf)
         score = np.where(valid, np.minimum(banded, ungapped), np.inf)
         viable = score <= max_allowed + EPS
 
-        results: list[QueryAlignments | None] = [None] * num_reads
         order = np.argsort(table.read_id, kind="stable")
-        boundaries = np.searchsorted(
-            table.read_id[order], np.arange(num_reads + 1)
+        read_sorted = table.read_id[order]
+        score_sorted = np.where(viable, score, np.inf)[order]
+        boundaries = np.searchsorted(read_sorted, np.arange(num_reads + 1))
+        starts, ends = boundaries[:-1], boundaries[1:]
+        nonempty = starts < ends
+
+        best_per_read = np.full(num_reads, np.inf)
+        if order.shape[0]:
+            safe_starts = np.minimum(starts, order.shape[0] - 1)
+            reduced = np.minimum.reduceat(score_sorted, safe_starts)
+            best_per_read = np.where(nonempty, reduced, np.inf)
+
+        read_max_allowed = np.nextafter(batch.lengths * p.max_error_rate, np.inf)
+        cutoff_per_read = np.minimum(
+            best_per_read + p.max_penalty_span, read_max_allowed
         )
-        for r in range(num_reads):
-            rows = order[boundaries[r] : boundaries[r + 1]]
+        emit = viable & (score <= cutoff_per_read[table.read_id] + EPS)
+        # reads whose emit set needs anything but clean ungapped emission go to
+        # the exact path
+        bad = emit & (at_edge | (banded < ungapped - EPS))
+        bad_reads = np.zeros(num_reads, dtype=bool)
+        bad_reads[table.read_id[bad]] = True
+        emit_counts = np.bincount(table.read_id[emit], minlength=num_reads)
+
+        results: list[QueryAlignments | None] = [None] * num_reads
+        emit_sorted = emit[order]
+        for r in np.nonzero(nonempty & ~bad_reads & (emit_counts > 0))[0].tolist():
             query = queries[r]
-            if rows.shape[0] == 0:
-                continue  # no candidates: let the exact path decide
-            rows_viable = rows[viable[rows]]
-            if rows_viable.shape[0] == 0:
-                continue  # nothing in budget: confirm via the exact path
-            best = score[rows_viable].min()
-            cutoff = min(best + p.max_penalty_span, float(max_allowed[rows_viable[0]]))
-            emit = rows_viable[score[rows_viable] <= cutoff + EPS]
-            if np.any(at_edge[emit]):
-                continue
-            # ties toward ungapped; reads needing gapped output use the exact path
-            if np.any(banded[emit] < ungapped[emit] - EPS):
-                continue
-            if emit.shape[0] > p.max_num_matches:
+            if emit_counts[r] > p.max_num_matches:
                 results[r] = QueryAlignments.unaligned(query.get_sequences())
                 continue
+            rows = order[starts[r] : ends[r]]
+            rows = rows[emit_sorted[starts[r] : ends[r]]]
             choices = []
             ok = True
-            for c in emit.tolist():
+            for c in rows.tolist():
                 choice = self._make_ungapped_alignment(query, table, c)
                 if choice is None:
                     ok = False
