@@ -309,13 +309,12 @@ def _rank_within_groups(sorted_group_keys: np.ndarray) -> np.ndarray:
     return idx - group_start
 
 
-_STRAND_TABLE_CACHE: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-
-
 def _strand_tables(database: HashBlockDatabase):
-    """(is_reverse_strand, forward_index, length) arrays per db sequence."""
-    key = id(database)
-    cached = _STRAND_TABLE_CACHE.get(key)
+    """(is_reverse_strand, forward_index, length) arrays per db sequence.
+
+    Cached on the database object itself (an id()-keyed dict would serve stale
+    tables when object ids are recycled after garbage collection)."""
+    cached = getattr(database, "_strand_tables_cache", None)
     if cached is not None:
         return cached
     seq_db = database.get_sequence_database()
@@ -329,5 +328,5 @@ def _strand_tables(database: HashBlockDatabase):
             rev_flags[i] = True
             fwd_index[i] = seq_db.index_of(seq.complemented_from)
     result = (rev_flags, fwd_index, lengths)
-    _STRAND_TABLE_CACHE[key] = result
+    database._strand_tables_cache = result
     return result
