@@ -68,8 +68,9 @@ def main():
     engine = BatchAligner(index, params)
     queries = [Query(r) for r in reads]
 
-    # warmup (compiles the kernel for this shape bucket)
-    engine.process_batch(queries[:256])
+    # warmup with the same shapes as the measured pass (compiles the kernel
+    # for this shape bucket); the measurement is steady-state throughput
+    engine.process_batch(queries)
     note("warmup done (kernel compiled)")
 
     t0 = time.time()

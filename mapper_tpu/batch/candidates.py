@@ -84,6 +84,14 @@ def collect_batch_seeds(
         row = hashblock.merge_row(row)
         if len(row) == 0:
             break
+        # skip gapmer expansion for rows whose largest block still can't reach
+        # the minimum interesting size (the first couple of levels are the
+        # biggest rows and produce nothing)
+        if (
+            hashblock.max_gapmer_num_basepairs_used(int(row.length.max()))
+            < min_size
+        ):
+            continue
         g = hashblock.expand_gapmers(row, prefixes, seg_bounds=seg_bounds)
         if len(g) == 0:
             continue
@@ -139,78 +147,60 @@ def generate_candidates(
 
     seq_db = database.get_sequence_database()
 
-    # per-seed match counts from the packed index (vectorized per size group)
-    rows_read, rows_reversed, rows_seq, rows_offset = [], [], [], []
-    for size in np.unique(num_bp).tolist():
-        m = database.maps.get(int(size))
-        if m is None:
-            continue
-        sel = np.nonzero(num_bp == size)[0]
-        bins = m.bin_of(key[sel])
-        counts = m.counts[bins]
-        usable = (counts > 0) & (
-            counts <= min(m.max_interesting_count, max_matches_per_seed)
-        )
-        sel = sel[usable]
-        if sel.shape[0] == 0:
-            continue
-        bins = bins[usable]
-        bin_offsets = m.offsets[bins]
-        bin_counts = m.counts[bins].astype(np.int64)
-        # flatten CSR ranges: repeat each seed row by its match count
-        repeat_idx = np.repeat(np.arange(sel.shape[0]), bin_counts)
-        flat_value_idx = (
-            np.repeat(bin_offsets, bin_counts)
-            + _ranges(bin_counts)
-        )
-        positions = m.values[flat_value_idx]  # encoded global positions
-        seed_rows = sel[repeat_idx]
-
-        pos_seq_idx, pos_offsets = seq_db.decode_positions(positions)
-        # lookup tables: db sequence index -> (is reverse strand, forward index, length)
-        rev_flags, fwd_index, seq_lengths = _strand_tables(database)
-
-        this_primary = primary[seed_rows]
-        b_start = block_start[seed_rows]
-        b_len = block_len[seed_rows]
-        read_len = batch.lengths[seg[seed_rows]]
-
-        # secondary-polarity lookups return positions on the matched strand's
-        # opposite sense: fold to match_block semantics
-        # (database.match_block applies the transform; here we inline it)
-        folded_offsets = np.where(
-            this_primary,
-            pos_offsets,
-            seq_lengths[database._rc_index[pos_seq_idx]] - pos_offsets - b_len,
-        )
-        folded_seq_idx = np.where(this_primary, pos_seq_idx, database._rc_index[pos_seq_idx])
-        matched_reverse = rev_flags[folded_seq_idx]
-        matched_fwd_idx = fwd_index[folded_seq_idx]
-
-        # express every match as (read strand, forward contig, read-position-0 offset)
-        # forward-contig match: offset = ref_pos - block_start
-        # reverse-contig match: fold to (RC read vs forward contig):
-        #   rc_offset = (rc_ref_start) - (rc_query_block_start)
-        #             = (L_contig - (pos + b_len)) - (L_read - (b_start + b_len))
-        contig_len = seq_lengths[matched_fwd_idx]
-        fwd_offset = folded_offsets - b_start
-        rc_offset = (contig_len - (folded_offsets + b_len)) - (
-            read_len - (b_start + b_len)
-        )
-        offset = np.where(matched_reverse, rc_offset, fwd_offset)
-
-        rows_read.append(seg[seed_rows])
-        rows_reversed.append(matched_reverse)
-        rows_seq.append(matched_fwd_idx.astype(np.int32))
-        rows_offset.append(offset)
-
-    if not rows_read:
+    # one-gather lookup across all block sizes via the merged index view
+    merged = database.merged_index()
+    cap_per_seed = merged["capacities"][num_bp]
+    bins = merged["bases"][num_bp] + (key % cap_per_seed)
+    counts = merged["counts"][bins]
+    limit = np.minimum(merged["caps"][num_bp], max_matches_per_seed)
+    usable = (counts > 0) & (counts <= limit)
+    sel = np.nonzero(usable)[0]
+    if sel.shape[0] == 0:
         return CandidateTable(*[np.zeros(0, dtype=t) for t in (np.int32, bool, np.int32, np.int64, np.int32)])
+    bin_offsets = merged["offsets"][bins[sel]]
+    bin_counts = counts[sel]
+    # flatten CSR ranges: repeat each seed row by its match count
+    repeat_idx = np.repeat(np.arange(sel.shape[0]), bin_counts)
+    flat_value_idx = np.repeat(bin_offsets, bin_counts) + _ranges(bin_counts)
+    positions = merged["values"][flat_value_idx]  # encoded global positions
+    seed_rows = sel[repeat_idx]
 
-    read = np.concatenate(rows_read)
-    reversed_ = np.concatenate(rows_reversed)
-    seq_idx = np.concatenate(rows_seq)
-    offset = np.concatenate(rows_offset)
+    pos_seq_idx, pos_offsets = seq_db.decode_positions(positions)
+    # lookup tables: db sequence index -> (is reverse strand, forward index, length)
+    rev_flags, fwd_index, seq_lengths = _strand_tables(database)
+
+    this_primary = primary[seed_rows]
+    b_start = block_start[seed_rows]
+    b_len = block_len[seed_rows]
+    read_len = batch.lengths[seg[seed_rows]]
+
+    # secondary-polarity lookups return positions on the matched strand's
+    # opposite sense: fold to match_block semantics
+    # (database.match_block applies the transform; here we inline it)
+    folded_offsets = np.where(
+        this_primary,
+        pos_offsets,
+        seq_lengths[database._rc_index[pos_seq_idx]] - pos_offsets - b_len,
+    )
+    folded_seq_idx = np.where(this_primary, pos_seq_idx, database._rc_index[pos_seq_idx])
+    matched_reverse = rev_flags[folded_seq_idx]
+    matched_fwd_idx = fwd_index[folded_seq_idx]
+
+    # express every match as (read strand, forward contig, read-position-0 offset)
+    # forward-contig match: offset = ref_pos - block_start
+    # reverse-contig match: fold to (RC read vs forward contig):
+    #   rc_offset = (rc_ref_start) - (rc_query_block_start)
+    #             = (L_contig - (pos + b_len)) - (L_read - (b_start + b_len))
+    contig_len = seq_lengths[matched_fwd_idx]
+    fwd_offset = folded_offsets - b_start
+    rc_offset = (contig_len - (folded_offsets + b_len)) - (
+        read_len - (b_start + b_len)
+    )
+    offset = np.where(matched_reverse, rc_offset, fwd_offset)
+
+    read = seg[seed_rows]
+    reversed_ = matched_reverse
+    seq_idx = matched_fwd_idx.astype(np.int32)
 
     if offset_merge_distance > 1:
         bucket = offset // offset_merge_distance

@@ -195,6 +195,19 @@ class BatchAligner:
     ) -> list[QueryAlignments | None]:
         """Returns one QueryAlignments per query, or None where the exact
         sequential path must decide."""
+        import os
+        import time as _time
+
+        trace = os.environ.get("MAPPER_TPU_TRACE") == "1"
+        t0 = _time.time()
+
+        def mark(label):
+            nonlocal t0
+            if trace:
+                now = _time.time()
+                print(f"[engine] {label}: {now - t0:.3f}s", flush=True)
+                t0 = now
+
         p = self.parameters
         reads = [q.get_sequence(0) for q in queries]
         batch = ReadBatch.from_sequences(reads)
@@ -214,9 +227,11 @@ class BatchAligner:
             band = 64 if int(max_indel.max(initial=0)) <= 31 else 128
         shift = np.minimum(max_indel, band // 2)
 
+        mark("setup")
         table = generate_candidates(
             batch, self.database, max_candidates_per_read=self.max_candidates_per_read
         )
+        mark(f"candidates ({len(table)})")
         if len(table) == 0:
             return [None] * num_reads
 
@@ -260,6 +275,7 @@ class BatchAligner:
 
         import jax
 
+        mark("windows")
         in_contig = (table.offset >= 0) & (table.offset + n_per_cand <= contig_len)
         use_device_diag = jax.default_backend() == "tpu"
         if use_device_diag:
@@ -299,6 +315,7 @@ class BatchAligner:
             ungapped = np.where(x_valid, pen, 0.0).sum(axis=1)
             ungapped = np.where(in_contig, ungapped, np.inf)
 
+        mark("scoring")
         # --- per-read decisions (vectorized over the candidate table) ----
         max_allowed = np.nextafter(n_per_cand * p.max_error_rate, np.inf)
         score = np.where(valid, np.minimum(banded, ungapped), np.inf)
@@ -357,6 +374,7 @@ class BatchAligner:
                     seen.add(key)
                     unique.append(choice)
             results[r] = QueryAlignments.single_component(query.get_sequences(), unique)
+        mark("decisions+emit")
         return results
 
     def _make_ungapped_alignment(

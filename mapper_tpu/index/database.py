@@ -372,6 +372,49 @@ class HashBlockDatabase:
         self._append(by_size_positions, sizes_cat, pos_cat)
         self._append(by_size_amb, sizes_cat, amb_cat)
 
+    def merged_index(self):
+        """A single cross-size view of all PackedIndex maps for one-gather
+        batched lookups: per-size (capacity, bin base, cap) arrays plus the
+        concatenation of all bin counts/offsets/values.  Rebuilt lazily after
+        growth."""
+        cached = getattr(self, "_merged_index_cache", None)
+        if cached is not None and cached["through"] == self.max_fully_set_up_size:
+            return cached
+        max_size = self.max_fully_set_up_size
+        capacities = np.ones(max_size + 2, dtype=np.int64)
+        caps = np.zeros(max_size + 2, dtype=np.int64)
+        bases = np.zeros(max_size + 2, dtype=np.int64)
+        value_bases = np.zeros(max_size + 2, dtype=np.int64)
+        counts_parts, offsets_parts, values_parts = [], [], []
+        bin_cursor = 0
+        value_cursor = 0
+        for size in range(0, max_size + 1):
+            m = self.maps.get(size)
+            if m is None:
+                from mapper_tpu.index.packedmap import PackedIndex
+
+                m = PackedIndex.empty(size)
+            capacities[size] = m.capacity
+            caps[size] = m.max_interesting_count
+            bases[size] = bin_cursor
+            value_bases[size] = value_cursor
+            counts_parts.append(m.counts.astype(np.int64))
+            offsets_parts.append(m.offsets[:-1] + value_cursor)
+            values_parts.append(m.values)
+            bin_cursor += m.capacity
+            value_cursor += m.values.shape[0]
+        cached = {
+            "through": max_size,
+            "capacities": capacities,
+            "caps": caps,
+            "bases": bases,
+            "counts": np.concatenate(counts_parts),
+            "offsets": np.concatenate(offsets_parts),
+            "values": np.concatenate(values_parts),
+        }
+        self._merged_index_cache = cached
+        return cached
+
     # --- lookup (Readable_HashBlock_Database equivalents) ----------------
 
     def _map_for(self, num_basepairs_used: int) -> PackedIndex | None:
