@@ -469,7 +469,9 @@ def run(
     num_loaded = 0
     batch: list = []
     batch_bases = 0
-    max_bases_per_batch = 50000  # Mapper.java:926
+    # the reference batches 50 kb per worker thread (Mapper.java:926); the
+    # batch engine amortizes per-launch cost over much larger batches
+    max_bases_per_batch = 2_000_000 if engine == "batch" else 50_000
     last_report = 0.0
     for query_builder in queries:
         num_loaded += 1
