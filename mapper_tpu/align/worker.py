@@ -64,12 +64,15 @@ class AlignerWorker:
         if self.cache is not None:
             self.cache_enable_fraction = self.cache.choose_enable_fraction(batch_size)
 
-    def process_batch(self, queries: list[Query]) -> list[QueryAlignments]:
+    def process_batch(
+        self, queries: list[Query], notify: bool = True
+    ) -> list[QueryAlignments]:
         self.before_batch(len(queries))
         results = []
         for query in queries:
             results.append(self.align(query))
-        self.send_results(results)
+        if notify:
+            self.send_results(results)
         return results
 
     def send_results(self, results: list[QueryAlignments]) -> None:

@@ -68,7 +68,9 @@ class BatchAligner:
 
     # ------------------------------------------------------------------
 
-    def process_batch(self, queries: list[Query]) -> list[QueryAlignments]:
+    def process_batch(
+        self, queries: list[Query], notify: bool = True
+    ) -> list[QueryAlignments]:
         results: list[QueryAlignments | None] = [None] * len(queries)
 
         batch_indices: list[int] = []
@@ -109,8 +111,9 @@ class BatchAligner:
             self.stats_fallback_reads += 1
             results[i] = self.fallback_worker.align(queries[i])
 
-        for listener in self.listeners:
-            listener.add_alignments(results)
+        if notify:
+            for listener in self.listeners:
+                listener.add_alignments(results)
         return results
 
     # ------------------------------------------------------------------

@@ -470,25 +470,49 @@ def run(
     batch: list = []
     batch_bases = 0
     # the reference batches 50 kb per worker thread (Mapper.java:926); the
-    # batch engine amortizes per-launch cost over much larger batches
+    # batch engine amortizes per-launch cost over much larger batches and
+    # pipelines two batches so host candidate generation overlaps device
+    # scoring (numpy and device waits release the GIL)
     max_bases_per_batch = 2_000_000 if engine == "batch" else 50_000
     last_report = 0.0
-    for query_builder in queries:
-        num_loaded += 1
-        query_builder.set_id(num_loaded)
-        batch.append(query_builder.build())
-        batch_bases += batch[-1].get_length()
-        if batch_bases >= max_bases_per_batch:
-            engine_obj.process_batch(batch)
-            batch, batch_bases = [], 0
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    if engine == "batch" and reference_index.duplication_detector is not None:
+        reference_index.duplication_detector.ensure_detected()  # avoid lazy-init races
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    pending: deque = deque()
+
+    def drain(limit: int) -> None:
+        nonlocal last_report
+        while len(pending) > limit:
+            results = pending.popleft().result()
+            for listener in listeners:
+                listener.add_alignments(results)
             now = time.time()
             if now - last_report >= 1.0:
                 elapsed = now - start_time
                 rate = num_loaded / elapsed if elapsed > 0 else 0
                 log(f"Processing query {num_loaded} at {elapsed:.0f}s ({rate:.0f} q/s)")
                 last_report = now
+
+    for query_builder in queries:
+        num_loaded += 1
+        query_builder.set_id(num_loaded)
+        batch.append(query_builder.build())
+        batch_bases += batch[-1].get_length()
+        if batch_bases >= max_bases_per_batch:
+            pending.append(
+                pool.submit(engine_obj.process_batch, batch, notify=False)
+            )
+            batch, batch_bases = [], 0
+            drain(1)  # keep at most two batches in flight
     if batch:
-        engine_obj.process_batch(batch)
+        pending.append(pool.submit(engine_obj.process_batch, batch, notify=False))
+    drain(0)
+    pool.shutdown()
 
     # --- outputs ---------------------------------------------------------
 

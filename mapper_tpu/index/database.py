@@ -90,8 +90,11 @@ class HashBlockDatabase:
         else:
             initial_max = choose_max_duplication_length(sequence_database)
 
+        import threading
+
         self.maps: dict[int, PackedIndex] = {}
         self.max_fully_set_up_size = 0
+        self._growth_lock = threading.Lock()
 
         if isinstance(cache_dir, str):
             cache_dir = DirCache(cache_dir)
@@ -147,10 +150,14 @@ class HashBlockDatabase:
 
     def require_set_up_through_size(self, size: int) -> None:
         """Lazy growth (HashBlock_Database.requireSetUpThroughSize +
-        chooseNextHashSize, java:148-215): hash through 2x the requested size."""
+        chooseNextHashSize, java:148-215): hash through 2x the requested size.
+        Thread-safe: pipelined batches may trigger growth concurrently."""
         if size <= self.max_fully_set_up_size:
             return
-        self._hash_through(size * 2)
+        with self._growth_lock:
+            if size <= self.max_fully_set_up_size:
+                return
+            self._hash_through(size * 2)
 
     def _cache_file(self, size: int) -> str | None:
         if self._cache_content_dir is None:
