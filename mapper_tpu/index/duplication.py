@@ -134,6 +134,8 @@ class DuplicationDetector:
         if self._detected:
             return
         self._detected = True
+        if self._load_from_cache():
+            return
         self.database.require_set_up_through_size(self.min_size + 1)
         concat = self.sequence_database.concatenated_codes()
         for block_length in range(self.min_size, self.max_size + 1):
@@ -142,6 +144,76 @@ class DuplicationDetector:
         for seq_idx, entries in self._by_sequence.items():
             entries.sort(key=lambda e: e[0])
             self._starts_by_sequence[seq_idx] = [start for start, _ in entries]
+        self._save_to_cache()
+
+    # --- disk cache (the reference persists per-length duplication files in
+    # its DirCache; DuplicationDetector.java:286-330,448-469) ----------------
+
+    def _cache_file(self) -> str | None:
+        content_dir = getattr(self.database, "_cache_content_dir", None)
+        if content_dir is None:
+            return None
+        import os
+
+        name = (
+            f"duplications-{self.min_size}-{self.max_size}"
+            f"-{self.min_num_interesting_copies}-{self.window_size}.npz"
+        )
+        return os.path.join(content_dir, name)
+
+    def _save_to_cache(self) -> None:
+        path = self._cache_file()
+        if path is None:
+            return
+        lengths, counts, flat_positions = [], [], []
+        seen: dict[int, int] = {}
+        dups: list[Duplication] = []
+        for entries in self._by_sequence.values():
+            for _, dup in entries:
+                if id(dup) not in seen:
+                    seen[id(dup)] = len(dups)
+                    dups.append(dup)
+        for dup in dups:
+            lengths.append(dup.length)
+            counts.append(len(dup.positions))
+            flat_positions.extend(dup.positions)
+        np.savez_compressed(
+            path,
+            lengths=np.array(lengths, dtype=np.int64),
+            counts=np.array(counts, dtype=np.int64),
+            positions=np.array(flat_positions, dtype=np.int64),
+        )
+
+    def _load_from_cache(self) -> bool:
+        path = self._cache_file()
+        if path is None:
+            return False
+        import os
+
+        if not os.path.exists(path):
+            return False
+        try:
+            data = np.load(path)
+        except Exception:
+            return False
+        lengths = data["lengths"]
+        counts = data["counts"]
+        positions = data["positions"]
+        pending: list[tuple[int, Duplication]] = []
+        cursor = 0
+        for i in range(lengths.shape[0]):
+            count = int(counts[i])
+            dup = Duplication(
+                int(lengths[i]), positions[cursor : cursor + count].tolist()
+            )
+            cursor += count
+            for pos in dup.positions:
+                pending.append((pos, dup))
+        self._insert(pending)
+        for seq_idx, entries in self._by_sequence.items():
+            entries.sort(key=lambda e: e[0])
+            self._starts_by_sequence[seq_idx] = [start for start, _ in entries]
+        return True
 
     def _process_length(self, block_length: int, concat: np.ndarray) -> None:
         """DuplicationDetector.process (java:129-213) for one block size."""
