@@ -183,6 +183,11 @@ class BatchAligner:
             if not best:
                 results.append(None)  # mate-rescue paths: sequential fallback
                 continue
+            for choice in best:  # ancestral -> original coordinate rewrite
+                computed = choice.get_sequence_b()
+                original = self.reference_index.get_original_sequence(computed)
+                if original is not computed:
+                    choice.put_sequence_b(original)
             if len(best) > p.max_num_matches:
                 results.append(QueryAlignments.unaligned(query.get_sequences()))
                 continue
@@ -392,7 +397,17 @@ class BatchAligner:
             seq_a = seq
         if offset < 0 or offset + len(seq_a) > len(ref):
             return None
-        block = AlignedBlock(seq_a, ref, 0, offset, len(seq_a), len(seq_a))
+        # under ancestry inference the index holds ancestral sequences: report
+        # coordinates on the original contig while keeping the ancestral codes
+        # as the penalty base (AlignerWorker.updateSequenceB semantics)
+        original = self.reference_index.get_original_sequence(ref)
+        if original is not ref:
+            block = AlignedBlock(
+                seq_a, original, 0, offset, len(seq_a), len(seq_a),
+                sequence_b_history=ref,
+            )
+        else:
+            block = AlignedBlock(seq_a, ref, 0, offset, len(seq_a), len(seq_a))
         alignment = new_sequence_alignment(
             [block], bool(table.reversed_[c]), self.parameters
         )

@@ -454,15 +454,13 @@ def run(
 
     cache = AlignmentCache()
     worker = AlignerWorker(reference_index, parameters, listeners, cache)
-    if engine == "batch" and not guess_reference_ancestors:
+    if engine == "batch":
         from mapper_tpu.batch.engine import BatchAligner
 
         engine_obj = BatchAligner(reference_index, parameters, listeners=listeners)
         engine_obj.fallback_worker = AlignerWorker(reference_index, parameters, cache=cache)
         worker_stats = engine_obj.fallback_worker.stats
     else:
-        # ancestry mode aligns against overridden sequences; the batch path
-        # does not support the ancestral penalty base yet
         engine_obj = worker
         worker_stats = worker.stats
 
