@@ -236,9 +236,24 @@ class BatchAligner:
         shift = np.minimum(max_indel, band // 2)
 
         mark("setup")
-        table = generate_candidates(
-            batch, self.database, max_candidates_per_read=self.max_candidates_per_read
-        )
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            from mapper_tpu.batch.candidates import collect_batch_seeds
+            from mapper_tpu.batch.device_vote import generate_candidates_device
+
+            seeds = collect_batch_seeds(batch, self.database)
+            mark("seeds")
+            table = generate_candidates_device(
+                batch,
+                self.database,
+                seeds,
+                max_candidates_per_read=self.max_candidates_per_read,
+            )
+        else:
+            table = generate_candidates(
+                batch, self.database, max_candidates_per_read=self.max_candidates_per_read
+            )
         mark(f"candidates ({len(table)})")
         if len(table) == 0:
             return [None] * num_reads
