@@ -23,6 +23,8 @@ inversion of the reference's adaptive search.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from mapper_tpu import basepairs
@@ -238,7 +240,10 @@ class BatchAligner:
         mark("setup")
         import jax as _jax
 
-        if _jax.default_backend() == "tpu":
+        # Device-side voting is opt-in: the int64-sort-heavy vote program
+        # compiles very slowly on remote TPU backends, so the numpy voting
+        # path stays the default until the int32-pair rework lands.
+        if os.environ.get("MAPPER_TPU_DEVICE_VOTE") == "1" and _jax.default_backend() == "tpu":
             from mapper_tpu.batch.candidates import collect_batch_seeds
             from mapper_tpu.batch.device_vote import generate_candidates_device
 

@@ -243,6 +243,14 @@ class HashBlockDatabase:
                 if len(row) == 0 or row.min_length() > hi:
                     break
                 if self.enable_gapmers:
+                    # rows whose largest block cannot reach the minimum
+                    # interesting size produce nothing (the first levels are
+                    # the biggest rows)
+                    if (
+                        hashblock.max_gapmer_num_basepairs_used(int(row.length.max()))
+                        < self.min_interesting_size
+                    ):
+                        continue
                     g = hashblock.expand_gapmers(row, prefixes)
                     num_bp = g.num_basepairs_used
                     fwd, rev = g.fwd, g.rev
