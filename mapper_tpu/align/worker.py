@@ -20,6 +20,7 @@ Faithful port of the reference's AlignerWorker search strategy
 from __future__ import annotations
 
 import math
+import time
 
 from mapper_tpu.align.blocks import QueryAlignment, QueryAlignments
 from mapper_tpu.align.cache import AlignmentCache
@@ -37,6 +38,17 @@ class WorkerStatistics:
         self.num_cache_hits = 0
         self.num_cache_skips = 0
         self.num_indels = 0
+        # slowest single query seen so far (reference: AlignerWorker.java:58-71
+        # per-worker timers reported at end of run)
+        self.slowest_query_name = None
+        self.slowest_query_seconds = 0.0
+        self.slowest_query_num_alignments = 0
+
+    def record_query_time(self, name: str, seconds: float, num_alignments: int) -> None:
+        if seconds > self.slowest_query_seconds:
+            self.slowest_query_seconds = seconds
+            self.slowest_query_name = name
+            self.slowest_query_num_alignments = num_alignments
 
 
 class AlignerWorker:
@@ -83,7 +95,12 @@ class AlignerWorker:
 
     def align(self, query: Query) -> QueryAlignments:
         self.stats.num_queries += 1
+        t0 = time.monotonic()
         result = self._check_cache_and_align(query)
+        num_alignments = sum(len(c) for c in result.get_alignments())
+        self.stats.record_query_time(
+            query.get_sequence(0).name, time.monotonic() - t0, num_alignments
+        )
         for component in result.get_alignments():
             num_indels = 0
             for option in component:

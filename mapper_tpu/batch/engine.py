@@ -240,9 +240,10 @@ class BatchAligner:
         mark("setup")
         import jax as _jax
 
-        # Device-side voting is opt-in: the int64-sort-heavy vote program
-        # compiles very slowly on remote TPU backends, so the numpy voting
-        # path stays the default until the int32-pair rework lands.
+        # Device-side voting is opt-in: the multi-million-element sort/scatter
+        # vote program compiles pathologically slowly on remote TPU backends
+        # (observed >10min for both int64 and int32-pair keys), so the numpy
+        # voting path stays the default.
         if os.environ.get("MAPPER_TPU_DEVICE_VOTE") == "1" and _jax.default_backend() == "tpu":
             from mapper_tpu.batch.candidates import collect_batch_seeds
             from mapper_tpu.batch.device_vote import generate_candidates_device
@@ -255,6 +256,10 @@ class BatchAligner:
                 seeds,
                 max_candidates_per_read=self.max_candidates_per_read,
             )
+            if table is None:  # int32 key-space overflow: use the numpy path
+                table = generate_candidates(
+                    batch, self.database, max_candidates_per_read=self.max_candidates_per_read
+                )
         else:
             table = generate_candidates(
                 batch, self.database, max_candidates_per_read=self.max_candidates_per_read

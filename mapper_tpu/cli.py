@@ -600,6 +600,22 @@ def run(
         f" Alignment cache usage         : {worker_stats.num_cache_hits} loaded, "
         f"{cache.get_usage()} stored, {worker_stats.num_cache_skips} skipped"
     )
+    if worker_stats.slowest_query_name is not None:
+        # reference: per-worker slowest-query timers (AlignerWorker.java:58-71)
+        log(
+            f" Slowest query                 : {worker_stats.slowest_query_name} took "
+            f"{worker_stats.slowest_query_seconds * 1000:.0f}ms "
+            f"({worker_stats.slowest_query_num_alignments} alignments)"
+        )
+    try:
+        import resource
+
+        # ru_maxrss is KiB on Linux; the reference prints post-GC heap usage
+        # (Mapper.java:812-820) — peak RSS is the closest process-level analog
+        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        log(f" Ending memory usage           : {peak_mb:.0f}mb peak RSS")
+    except Exception:
+        pass
 
     if sam_stream is not None and sam_stream is not sys.stdout:
         sam_stream.close()
