@@ -218,33 +218,43 @@ def generate_candidates(
         ((read.astype(np.int64) * 2 + reversed_) * n_seqs + seq_idx) * span
         + (bucket + bias)
     )
-    order = np.argsort(packed, kind="stable")
-    packed = packed[order]
-    read, reversed_, seq_idx, offset = (
-        read[order],
-        reversed_[order],
-        seq_idx[order],
-        offset[order],
-    )
-    boundary = np.ones(packed.shape[0], dtype=bool)
-    boundary[1:] = packed[1:] != packed[:-1]
-    group_ids = np.cumsum(boundary) - 1
-    votes = np.bincount(group_ids).astype(np.int32)
-    first = np.nonzero(boundary)[0]
+    if offset_merge_distance > 1:
+        # bucketed keys: the representative offset is the first-encountered
+        # row of each bucket, so the side arrays must ride along the sort
+        order = np.argsort(packed, kind="stable")
+        packed = packed[order]
+        offset = offset[order]
+        boundary = np.ones(packed.shape[0], dtype=bool)
+        boundary[1:] = packed[1:] != packed[:-1]
+        first = np.nonzero(boundary)[0]
+        g_offset = offset[first]
+    else:
+        # unbucketed keys decode exactly: sort the packed keys alone (no
+        # argsort + side-array gathers) and recover the fields afterwards
+        packed.sort()
+        boundary = np.ones(packed.shape[0], dtype=bool)
+        boundary[1:] = packed[1:] != packed[:-1]
+        first = np.nonzero(boundary)[0]
+        g_offset = None
+    votes = np.diff(np.append(first, packed.shape[0])).astype(np.int32)
+    g_packed = packed[first]
+    if g_offset is None:
+        g_offset = g_packed % span - bias
+    rest = g_packed // span
+    g_seq = (rest % n_seqs).astype(np.int32)
+    rest //= n_seqs
+    g_reversed = (rest % 2).astype(bool)
+    g_read = (rest // 2).astype(np.int32)
 
-    g_read = read[first]
-    g_reversed = reversed_[first]
-    g_seq = seq_idx[first]
-    g_offset = offset[first]  # representative (smallest in bucket after sort)
-
-    keep = votes >= min_votes
-    g_read, g_reversed, g_seq, g_offset, votes = (
-        g_read[keep],
-        g_reversed[keep],
-        g_seq[keep],
-        g_offset[keep],
-        votes[keep],
-    )
+    if min_votes > 1:
+        keep = votes >= min_votes
+        g_read, g_reversed, g_seq, g_offset, votes = (
+            g_read[keep],
+            g_reversed[keep],
+            g_seq[keep],
+            g_offset[keep],
+            votes[keep],
+        )
 
     # top-K per read by votes: sort by (read, -votes) and cut; also drop
     # candidates far below their read's top vote (hash-collision noise) —
