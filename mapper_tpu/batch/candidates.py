@@ -141,6 +141,12 @@ def generate_candidates(
     `offset_merge_distance` merges nearby offsets (indel tolerance) by
     bucketing before voting.
     """
+    if min_votes <= 1 and offset_merge_distance <= 1:
+        table = _generate_candidates_native(
+            batch, database, max_candidates_per_read, max_matches_per_seed
+        )
+        if table is not None:
+            return table
     seg, block_start, block_len, num_bp, key, primary = collect_batch_seeds(batch, database)
     if seg.shape[0] == 0:
         return CandidateTable(*[np.zeros(0, dtype=t) for t in (np.int32, bool, np.int32, np.int64, np.int32)])
@@ -284,6 +290,54 @@ def generate_candidates(
         g_offset[keep],
         votes[keep],
     )
+
+
+def _generate_candidates_native(
+    batch: ReadBatch,
+    database: HashBlockDatabase,
+    max_candidates_per_read: int,
+    max_matches_per_seed: int,
+) -> CandidateTable | None:
+    """C++ implementation of the whole pyramid->lookup->vote->top-K path
+    (native/candidates.cpp), bit-identical to the numpy path below.  Returns
+    None when the native library is unavailable, disabled via
+    MAPPER_TPU_NATIVE=0, or the batch contains ambiguity codes."""
+    import os
+
+    if os.environ.get("MAPPER_TPU_NATIVE", "1") == "0":
+        return None
+    from mapper_tpu import native
+
+    seq_db = database.get_sequence_database()
+    n_seqs = seq_db.get_num_sequences()
+    if n_seqs == 0 or batch.num_reads == 0:
+        return None
+    max_len = int(batch.lengths.max())
+    longest_contig = int(max((len(s) for s in seq_db.get_all()), default=1))
+    span = longest_contig + 2 * max_len + 2
+    bias = max_len + 1
+    rev_flags, fwd_index, seq_lengths = _strand_tables(database)
+    result = native.native_generate_candidates(
+        batch.codes,
+        batch.starts,
+        database.get_min_interesting_size(),
+        database.get_hashed_length(),
+        database.merged_index(),
+        rev_flags,
+        fwd_index,
+        seq_lengths,
+        database._rc_index,
+        seq_db.starts,
+        n_seqs,
+        span,
+        bias,
+        max_matches_per_seed,
+        max_candidates_per_read,
+    )
+    if result is None:
+        return None
+    read, reversed_, seq_idx, offset, votes = result
+    return CandidateTable(read, reversed_, seq_idx, offset, votes)
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:

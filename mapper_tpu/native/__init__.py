@@ -20,13 +20,17 @@ import numpy as np
 _HERE = os.path.dirname(__file__)
 _SOURCE = os.path.join(_HERE, "dp.cpp")
 _LIBRARY = os.path.join(_HERE, "libmapperdp.so")
+_CAND_SOURCE = os.path.join(_HERE, "candidates.cpp")
+_CAND_LIBRARY = os.path.join(_HERE, "libmappercand.so")
 
 _lock = threading.Lock()
 _lib = None
 _load_failed = False
+_cand_lib = None
+_cand_load_failed = False
 
 
-def _build() -> bool:
+def _build(source: str = _SOURCE, library: str = _LIBRARY, extra=()) -> bool:
     try:
         subprocess.run(
             [
@@ -35,14 +39,15 @@ def _build() -> bool:
                 "-march=native",
                 "-shared",
                 "-fPIC",
-                _SOURCE,
+                *extra,
+                source,
                 "-o",
-                _LIBRARY + ".tmp",
+                library + ".tmp",
             ],
             check=True,
             capture_output=True,
         )
-        os.replace(_LIBRARY + ".tmp", _LIBRARY)
+        os.replace(library + ".tmp", library)
         return True
     except Exception:
         return False
@@ -82,6 +87,135 @@ def get_library():
         except Exception:
             _load_failed = True
     return _lib
+
+
+def get_candidates_library():
+    """The loaded native candidates library, or None when unavailable."""
+    global _cand_lib, _cand_load_failed
+    if _cand_lib is not None or _cand_load_failed:
+        return _cand_lib
+    with _lock:
+        if _cand_lib is not None or _cand_load_failed:
+            return _cand_lib
+        if not os.path.exists(_CAND_LIBRARY) or os.path.getmtime(
+            _CAND_LIBRARY
+        ) < os.path.getmtime(_CAND_SOURCE):
+            if not _build(_CAND_SOURCE, _CAND_LIBRARY, extra=("-fopenmp",)):
+                # retry without OpenMP (still correct, single-threaded)
+                if not _build(_CAND_SOURCE, _CAND_LIBRARY):
+                    _cand_load_failed = True
+                    return None
+        try:
+            lib = ctypes.CDLL(_CAND_LIBRARY)
+            i64 = ctypes.c_int64
+            i32 = ctypes.c_int32
+            p_i64 = ctypes.POINTER(ctypes.c_int64)
+            p_i32 = ctypes.POINTER(ctypes.c_int32)
+            p_u8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.mapper_generate_candidates.restype = i64
+            lib.mapper_generate_candidates.argtypes = [
+                p_u8, p_i64, i64,          # codes, read_starts, num_reads
+                i32, i32,                  # min_size, max_size
+                p_i64, p_i64, p_i64,       # capacities, caps, bases
+                p_i64, p_i64, p_i64,       # counts, offsets, values
+                p_u8, p_i64, p_i64, p_i64, # rev_flags, fwd_index, seq_lengths, rc_index
+                p_i64, i64,                # seq_starts, n_seqs
+                i64, i64, i32, i32,        # span, bias, max_matches_per_seed, k_out
+                p_i32, p_u8, p_i32, p_i64, p_i32,  # outputs
+            ]
+            _cand_lib = lib
+        except Exception:
+            _cand_load_failed = True
+    return _cand_lib
+
+
+def native_generate_candidates(
+    codes: np.ndarray,
+    read_starts: np.ndarray,
+    min_size: int,
+    max_size: int,
+    merged: dict,
+    rev_flags: np.ndarray,
+    fwd_index: np.ndarray,
+    seq_lengths: np.ndarray,
+    rc_index: np.ndarray,
+    seq_starts: np.ndarray,
+    n_seqs: int,
+    span: int,
+    bias: int,
+    max_matches_per_seed: int,
+    k_out: int,
+):
+    """Run the native candidate generator.  Returns (read, reversed, seq,
+    offset, votes) arrays or None when the library is unavailable or the batch
+    contains ambiguity (caller falls back to the numpy path)."""
+    lib = get_candidates_library()
+    if lib is None:
+        return None
+    num_reads = read_starts.shape[0] - 1
+    if num_reads <= 0:
+        return None
+
+    def as64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    read_starts = as64(read_starts)
+    rev_u8 = np.ascontiguousarray(rev_flags, dtype=np.uint8)
+    cap_out = num_reads * k_out
+    out_read = np.empty(cap_out, dtype=np.int32)
+    out_rev = np.empty(cap_out, dtype=np.uint8)
+    out_seq = np.empty(cap_out, dtype=np.int32)
+    out_offset = np.empty(cap_out, dtype=np.int64)
+    out_votes = np.empty(cap_out, dtype=np.int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    arrs = {
+        "capacities": as64(merged["capacities"]),
+        "caps": as64(merged["caps"]),
+        "bases": as64(merged["bases"]),
+        "counts": as64(merged["counts"]),
+        "offsets": as64(merged["offsets"]),
+        "values": as64(merged["values"]),
+    }
+    n = lib.mapper_generate_candidates(
+        codes.ctypes.data_as(p_u8),
+        read_starts.ctypes.data_as(p_i64),
+        num_reads,
+        min_size,
+        max_size,
+        arrs["capacities"].ctypes.data_as(p_i64),
+        arrs["caps"].ctypes.data_as(p_i64),
+        arrs["bases"].ctypes.data_as(p_i64),
+        arrs["counts"].ctypes.data_as(p_i64),
+        arrs["offsets"].ctypes.data_as(p_i64),
+        arrs["values"].ctypes.data_as(p_i64),
+        rev_u8.ctypes.data_as(p_u8),
+        as64(fwd_index).ctypes.data_as(p_i64),
+        as64(seq_lengths).ctypes.data_as(p_i64),
+        as64(rc_index).ctypes.data_as(p_i64),
+        as64(seq_starts).ctypes.data_as(p_i64),
+        n_seqs,
+        span,
+        bias,
+        max_matches_per_seed,
+        k_out,
+        out_read.ctypes.data_as(p_i32),
+        out_rev.ctypes.data_as(p_u8),
+        out_seq.ctypes.data_as(p_i32),
+        out_offset.ctypes.data_as(p_i64),
+        out_votes.ctypes.data_as(p_i32),
+    )
+    if n < 0:
+        return None
+    return (
+        out_read[:n],
+        out_rev[:n].astype(bool),
+        out_seq[:n],
+        out_offset[:n],
+        out_votes[:n],
+    )
 
 
 def native_dp_align(

@@ -1,0 +1,430 @@
+// Native candidate generation: hashblock pyramid -> gapmer expansion ->
+// merged-index lookup -> offset voting -> per-read top-K.
+//
+// Scalar port of the exact semantics of mapper_tpu/index/hashblock.py
+// (itself a bit-for-bit reimplementation of the reference's HashBlock.java /
+// HashBlock_ParentRow.java hashing scheme) and of the voting pipeline in
+// mapper_tpu/batch/candidates.py::generate_candidates.  Reads are independent,
+// so the loop parallelizes over fixed contiguous read chunks (fixed chunk
+// count => deterministic output order regardless of thread count).
+//
+// Java arithmetic notes (must match the numpy path bit-for-bit):
+//  - all hash arithmetic wraps in two's complement (int32 via uint32 casts,
+//    int64 via uint64); HashBlock.mergeHashes wraps (rightContentHash + 1) in
+//    int32 *before* the widening multiply, but not (leftContentHash + 1);
+//  - Java's % truncates toward zero (C++ % matches); numpy's % floors (the
+//    lookup bin uses floor-mod, emulated explicitly);
+//  - Math.abs(Integer.MIN_VALUE) stays negative.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int64_t MERGE_MULTIPLIER = 54323;
+constexpr int64_t MERGE_LENGTH_MULTIPLIER = 323;
+constexpr uint32_t GAPMER_MULTIPLIER = 7654337u;
+// modular inverse of GAPMER_MULTIPLIER mod 2^32
+constexpr uint32_t GAPMER_MULTIPLIER_INV = 242828353u;
+
+inline int32_t wrap32(uint64_t x) { return (int32_t)(uint32_t)x; }
+
+inline int32_t merge_hashes(int32_t l_len, int32_t l_hash, int32_t r_len,
+                            int32_t r_hash) {
+  uint64_t rotated_left =
+      (uint64_t)((int64_t)l_hash + 1) *
+      (uint64_t)(MERGE_MULTIPLIER + MERGE_LENGTH_MULTIPLIER * (int64_t)r_len);
+  uint64_t rotated_right =
+      (uint64_t)(int64_t)wrap32((uint64_t)((int64_t)r_hash + 1)) *
+      (uint64_t)(int64_t)l_len;
+  uint64_t long_top = rotated_left + rotated_right;
+  int64_t shifted = ((int64_t)long_top) >> 32;  // arithmetic shift
+  return wrap32(long_top + (uint64_t)shifted);
+}
+
+struct Block {
+  int32_t start;   // in-read coordinate
+  int32_t length;
+  int32_t fwd;
+  int32_t rev;
+  int32_t extra;   // extraGapmerLength
+  int8_t gap_dir;  // -1 left gap, +1 right gap, 0 none
+  bool req_l, req_r, next_l, next_r;
+};
+
+// nibble -> 2-bit hashChar value (A=0 C=1 G=2 T=3), -1 for ambiguity
+const int8_t TWO_BIT[16] = {-1, 0, 1, -1, 2, -1, -1, -1,
+                            3,  -1, -1, -1, -1, -1, -1, -1};
+// nibble -> gapmer charToInt (A..T -> 1..4)
+const int8_t GAP_VAL[16] = {0, 1, 2, 0, 3, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0};
+// nibble -> complemented nibble's gapmer value
+const int8_t GAP_VAL_COMP[16] = {0, 4, 3, 0, 2, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0};
+
+inline int64_t max_gapmer_num_bp(int64_t starting_length) {
+  return starting_length + starting_length * 9 / 8 + 1;
+}
+
+struct Seed {
+  int32_t start;   // in-read start of the gapped shape
+  int32_t length;  // total span including the gap
+  int32_t num_bp;
+  int32_t key;     // lookup key (fwd if primary else rev)
+  bool primary;
+};
+
+struct Group {
+  int64_t key;
+  int32_t votes;
+};
+
+struct Scratch {
+  std::vector<Block> row, next;
+  std::vector<uint32_t> pref_fwd, pref_comp;
+  std::vector<Seed> seeds;
+  std::vector<int64_t> votes;
+  std::vector<Group> groups;
+};
+
+struct Out {
+  std::vector<int32_t> read;
+  std::vector<uint8_t> rev;
+  std::vector<int32_t> seq;
+  std::vector<int64_t> offset;
+  std::vector<int32_t> votes;
+};
+
+// Collect all interesting gapmer seeds of one read (exact port of
+// batch/candidates.py::collect_batch_seeds restricted to a single read).
+bool collect_seeds_one_read(const uint8_t* codes, int64_t len,
+                            int32_t min_size, int32_t max_size,
+                            const uint32_t* pow_b, const uint32_t* inv_pow_b,
+                            Scratch& s) {
+  s.seeds.clear();
+  if (len < 2) return true;
+
+  // gapmer prefix tables (modular prefix sums in uint32)
+  s.pref_fwd.resize(len + 1);
+  s.pref_comp.resize(len + 1);
+  s.pref_fwd[0] = 0;
+  s.pref_comp[0] = 0;
+  for (int64_t i = 0; i < len; i++) {
+    uint8_t c = codes[i];
+    s.pref_fwd[i + 1] = s.pref_fwd[i] + (uint32_t)GAP_VAL[c] * pow_b[i];
+    s.pref_comp[i + 1] = s.pref_comp[i] + (uint32_t)GAP_VAL_COMP[c] * inv_pow_b[i];
+  }
+
+  // base row (HashBlock_BaseRow.java non-ambiguous branch)
+  s.row.resize(len);
+  for (int64_t i = 0; i < len; i++) {
+    int8_t v = TWO_BIT[codes[i]];
+    if (v < 0) return false;  // ambiguity: caller falls back to numpy/scalar
+    Block& b = s.row[i];
+    b.start = (int32_t)i;
+    b.length = 1;
+    b.fwd = v;
+    b.rev = 3 - v;
+    b.extra = 0;
+    b.gap_dir = 0;
+    b.req_l = v < 2;
+    b.req_r = v >= 2;
+    b.next_l = (v & 1) == 0;
+    b.next_r = (v & 1) == 1;
+  }
+
+  while (s.row.size() >= 2) {
+    // ---- merge_row ----
+    s.next.clear();
+    int32_t row_max_len = 0;
+    int32_t row_min_len = INT32_MAX;
+    for (size_t i = 0; i + 1 < s.row.size(); i++) {
+      const Block& L = s.row[i];
+      const Block& R = s.row[i + 1];
+      if (!(L.start + L.length >= R.start && (L.req_r || R.req_l))) continue;
+      Block b;
+      b.start = L.start;
+      b.length = R.start + R.length - L.start;
+      b.fwd = merge_hashes(L.length, L.fwd, R.length, R.fwd);
+      b.rev = merge_hashes(R.length, R.rev, L.length, L.rev);
+
+      bool anchor_exists = L.fwd != R.rev;
+      bool anchor_is_right = L.fwd > R.rev;
+      bool asym = anchor_exists && (b.fwd != b.rev);
+      bool is_reverse = b.fwd < b.rev;
+      bool invert = (is_reverse == anchor_is_right);
+
+      bool a_nl = anchor_is_right ? R.next_l : L.next_l;
+      bool a_nr = anchor_is_right ? R.next_r : L.next_r;
+      if (a_nl && a_nr) {
+        if (anchor_is_right) a_nr = false; else a_nl = false;
+      }
+      bool o_nl = anchor_is_right ? L.next_l : R.next_l;
+      bool o_nr = anchor_is_right ? L.next_r : R.next_r;
+      if (o_nl && o_nr) {
+        if (!anchor_is_right) o_nl = false; else o_nr = false;
+      }
+
+      bool req_l = true, req_r = true, next_l = true, next_r = true;
+      if (asym) {
+        req_l = a_nl != invert;
+        req_r = a_nr != invert;
+        next_l = o_nl != invert;
+        next_r = o_nr != invert;
+      }
+      if (L.length != R.length) {
+        bool lg = L.length > R.length;
+        req_l = lg; req_r = !lg; next_l = !lg; next_r = lg;
+      }
+      if (b.fwd != b.rev) {
+        if (req_l && req_r) { req_l = b.fwd > b.rev; req_r = !req_l; }
+        if (next_l && next_r) { next_l = req_l; next_r = !req_l; }
+      }
+      b.req_l = req_l; b.req_r = req_r; b.next_l = next_l; b.next_r = next_r;
+
+      if (req_l != req_r) b.gap_dir = req_l ? 1 : -1;
+      else if (anchor_exists) b.gap_dir = anchor_is_right ? 1 : -1;
+      else b.gap_dir = 0;
+
+      int64_t extra_raw = (int64_t)L.length + R.length - b.length;
+      b.extra = (int32_t)(extra_raw / 4);  // trunc toward zero, as in Java
+
+      s.next.push_back(b);
+      row_max_len = std::max(row_max_len, b.length);
+      row_min_len = std::min(row_min_len, b.length);
+    }
+    s.row.swap(s.next);
+    if (s.row.empty()) break;
+
+    // skip expansion for rows whose largest block can't reach min_size
+    if (max_gapmer_num_bp(row_max_len) < min_size) continue;
+
+    // ---- expand_gapmers + interesting-size filter ----
+    size_t emitted_before = s.seeds.size();
+    for (const Block& b : s.row) {
+      int32_t m = std::max(b.fwd, b.rev);
+      int32_t abs_m = wrap32((uint64_t)(m < 0 ? -(int64_t)m : (int64_t)m));
+      int32_t rem = abs_m % 3;  // sign follows abs_m (Math.abs(MIN) < 0)
+      int64_t target_extra = (int64_t)b.length + rem + b.extra;
+      int64_t gap = b.length / 2;
+      int64_t ext_len = target_extra - gap;
+
+      int64_t g_start, g_len, g_num_bp;
+      int32_t g_fwd, g_rev;
+      bool is_self = b.gap_dir == 0;
+      if (is_self) {
+        g_start = b.start;
+        g_len = b.length;
+        g_num_bp = b.length;
+        g_fwd = b.fwd;
+        g_rev = b.rev;
+      } else {
+        int64_t ext_start, ext_end;
+        if (b.gap_dir < 0) {  // extension before the block
+          ext_end = (int64_t)b.start - gap;
+          ext_start = ext_end - ext_len;
+          if (ext_start < 0) continue;
+          g_start = ext_start;
+        } else {  // extension after the block
+          ext_start = (int64_t)b.start + b.length + gap;
+          ext_end = ext_start + ext_len;
+          if (ext_end > len) continue;
+          g_start = b.start;
+        }
+        int64_t cs = std::min(std::max(ext_start, (int64_t)0), len);
+        int64_t ce = std::min(std::max(ext_end, (int64_t)0), len);
+        uint32_t ext_hash;
+        if (b.gap_dir < 0) {
+          // sum_{i in [s,e)} fwd_vals[i] * B^(i-s)  (mod 2^32)
+          ext_hash = (s.pref_fwd[ce] - s.pref_fwd[cs]) * inv_pow_b[cs];
+        } else {
+          // sum_{i in [s,e)} comp_vals[i] * B^(e-1-i)  (mod 2^32)
+          int64_t e1 = std::max(ce, (int64_t)1) - 1;
+          ext_hash = (s.pref_comp[ce] - s.pref_comp[cs]) * pow_b[e1];
+        }
+        g_fwd = wrap32((uint64_t)((int64_t)b.fwd + (int32_t)ext_hash));
+        g_rev = wrap32((uint64_t)((int64_t)b.rev + (int32_t)ext_hash));
+        g_len = b.length + gap + ext_len;
+        g_num_bp = b.length + ext_len;
+      }
+
+      if (g_num_bp < min_size || g_num_bp > max_size) continue;
+
+      bool primary;
+      if (is_self && (b.req_l != b.req_r)) primary = b.req_l;
+      else primary = g_fwd >= g_rev;
+
+      Seed sd;
+      sd.start = (int32_t)g_start;
+      sd.length = (int32_t)g_len;
+      sd.num_bp = (int32_t)g_num_bp;
+      sd.key = primary ? g_fwd : g_rev;
+      sd.primary = primary;
+      s.seeds.push_back(sd);
+    }
+    (void)emitted_before;
+    if (row_min_len > max_size) break;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" int64_t mapper_generate_candidates(
+    // batch
+    const uint8_t* codes, const int64_t* read_starts, int64_t num_reads,
+    // index config
+    int32_t min_size, int32_t max_size,
+    // merged index (indexed by block num_bp up to max_size inclusive)
+    const int64_t* capacities, const int64_t* caps, const int64_t* bases,
+    const int64_t* counts, const int64_t* offsets, const int64_t* values,
+    // strand tables over db sequences
+    const uint8_t* rev_flags, const int64_t* fwd_index,
+    const int64_t* seq_lengths, const int64_t* rc_index,
+    const int64_t* seq_starts, int64_t n_seqs,
+    // voting parameters
+    int64_t span, int64_t bias, int32_t max_matches_per_seed, int32_t k_out,
+    // outputs, caller-allocated with num_reads * k_out rows
+    int32_t* out_read, uint8_t* out_rev, int32_t* out_seq, int64_t* out_offset,
+    int32_t* out_votes) {
+  if (num_reads <= 0) return 0;
+  int64_t max_len = 0;
+  for (int64_t r = 0; r < num_reads; r++)
+    max_len = std::max(max_len, read_starts[r + 1] - read_starts[r]);
+
+  // powers of the gapmer base mod 2^32 (shared across reads)
+  std::vector<uint32_t> pow_b(max_len + 2), inv_pow_b(max_len + 2);
+  pow_b[0] = 1;
+  inv_pow_b[0] = 1;
+  for (int64_t i = 1; i <= max_len + 1; i++) {
+    pow_b[i] = pow_b[i - 1] * GAPMER_MULTIPLIER;
+    inv_pow_b[i] = inv_pow_b[i - 1] * GAPMER_MULTIPLIER_INV;
+  }
+
+  constexpr int NUM_CHUNKS = 16;  // fixed => deterministic output order
+  Out outs[NUM_CHUNKS];
+  bool ok[NUM_CHUNKS];
+  for (int c = 0; c < NUM_CHUNKS; c++) ok[c] = true;
+  int64_t chunk_size = (num_reads + NUM_CHUNKS - 1) / NUM_CHUNKS;
+
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int chunk = 0; chunk < NUM_CHUNKS; chunk++) {
+    Scratch scratch;
+    Out& out = outs[chunk];
+    int64_t r_begin = chunk * chunk_size;
+    int64_t r_end = std::min(num_reads, r_begin + chunk_size);
+    for (int64_t r = r_begin; r < r_end && ok[chunk]; r++) {
+      int64_t rs = read_starts[r];
+      int64_t read_len = read_starts[r + 1] - rs;
+      if (!collect_seeds_one_read(codes + rs, read_len, min_size, max_size,
+                                  pow_b.data(), inv_pow_b.data(), scratch)) {
+        ok[chunk] = false;
+        break;
+      }
+
+      // ---- lookup + votes ----
+      scratch.votes.clear();
+      for (const Seed& sd : scratch.seeds) {
+        int64_t cap = capacities[sd.num_bp];
+        int64_t rem = (int64_t)sd.key % cap;
+        if (rem < 0) rem += cap;  // numpy floor-mod
+        int64_t bin = bases[sd.num_bp] + rem;
+        int64_t cnt = counts[bin];
+        int64_t limit = std::min(caps[sd.num_bp], (int64_t)max_matches_per_seed);
+        if (cnt <= 0 || cnt > limit) continue;
+        int64_t off = offsets[bin];
+        for (int64_t j = 0; j < cnt; j++) {
+          int64_t pos = values[off + j];
+          // decode (sequence, offset): upper_bound(seq_starts) - 1
+          int64_t lo = 0, hi = n_seqs;  // seq_starts has n_seqs + 1 entries
+          while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (seq_starts[mid + 1] > pos) hi = mid; else lo = mid + 1;
+          }
+          int64_t seq = lo;
+          int64_t pos_off = pos - seq_starts[seq];
+
+          int64_t folded_off, folded_seq;
+          if (sd.primary) {
+            folded_off = pos_off;
+            folded_seq = seq;
+          } else {
+            folded_seq = rc_index[seq];
+            folded_off = seq_lengths[folded_seq] - pos_off - sd.length;
+          }
+          bool mrev = rev_flags[folded_seq] != 0;
+          int64_t fwd_idx = fwd_index[folded_seq];
+          int64_t contig_len = seq_lengths[fwd_idx];
+          int64_t offv;
+          if (mrev)
+            offv = (contig_len - (folded_off + sd.length)) -
+                   (read_len - ((int64_t)sd.start + sd.length));
+          else
+            offv = folded_off - sd.start;
+          int64_t key =
+              (((int64_t)(mrev ? 1 : 0)) * n_seqs + fwd_idx) * span + (offv + bias);
+          scratch.votes.push_back(key);
+        }
+      }
+      if (scratch.votes.empty()) continue;
+
+      std::sort(scratch.votes.begin(), scratch.votes.end());
+      scratch.groups.clear();
+      int64_t prev = scratch.votes[0];
+      int32_t run = 0;
+      for (int64_t v : scratch.votes) {
+        if (v == prev) {
+          run++;
+        } else {
+          scratch.groups.push_back({prev, run});
+          prev = v;
+          run = 1;
+        }
+      }
+      scratch.groups.push_back({prev, run});
+
+      // per-read top-K by votes desc, ties keep key-ascending order
+      std::stable_sort(scratch.groups.begin(), scratch.groups.end(),
+                       [](const Group& a, const Group& b) {
+                         return a.votes > b.votes;
+                       });
+      int32_t top = scratch.groups[0].votes;
+      int32_t emitted = 0;
+      for (const Group& g : scratch.groups) {
+        if (emitted >= k_out) break;
+        // hash-collision noise filter (matches the numpy path)
+        if (!(top < 6 || g.votes * 3 >= top)) { emitted++; continue; }
+        int64_t offv = g.key % span - bias;  // key >= 0 by construction
+        int64_t rest = g.key / span;
+        int64_t seq = rest % n_seqs;
+        int64_t mrev = rest / n_seqs;
+        out.read.push_back((int32_t)r);
+        out.rev.push_back((uint8_t)mrev);
+        out.seq.push_back((int32_t)seq);
+        out.offset.push_back(offv);
+        out.votes.push_back(g.votes);
+        emitted++;
+      }
+    }
+  }
+
+  for (int c = 0; c < NUM_CHUNKS; c++)
+    if (!ok[c]) return -1;  // ambiguity encountered: fall back
+
+  int64_t total = 0;
+  for (int c = 0; c < NUM_CHUNKS; c++) total += (int64_t)outs[c].read.size();
+  if (total > num_reads * (int64_t)k_out) return -2;  // can't happen
+  int64_t w = 0;
+  for (int c = 0; c < NUM_CHUNKS; c++) {
+    const Out& o = outs[c];
+    size_t n = o.read.size();
+    if (!n) continue;
+    std::memcpy(out_read + w, o.read.data(), n * sizeof(int32_t));
+    std::memcpy(out_rev + w, o.rev.data(), n * sizeof(uint8_t));
+    std::memcpy(out_seq + w, o.seq.data(), n * sizeof(int32_t));
+    std::memcpy(out_offset + w, o.offset.data(), n * sizeof(int64_t));
+    std::memcpy(out_votes + w, o.votes.data(), n * sizeof(int32_t));
+    w += n;
+  }
+  return total;
+}

@@ -1,0 +1,84 @@
+"""The native (C++) candidate generator must be bit-identical to the numpy
+path — same rows in the same order."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mapper_tpu import Api, basepairs
+from mapper_tpu.batch.candidates import (
+    ReadBatch,
+    _generate_candidates_native,
+    generate_candidates,
+)
+from mapper_tpu.sequence import Sequence
+
+
+def rows(table):
+    return list(
+        zip(
+            table.read_id.tolist(),
+            table.reversed_.tolist(),
+            table.ref_seq_index.tolist(),
+            table.offset.tolist(),
+            table.votes.tolist(),
+        )
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_candidates_match_numpy(seed):
+    rng = np.random.default_rng(seed)
+    ref_text = "".join(rng.choice(list("ACGT"), size=9000))
+    index = Api.new_database({"c1": ref_text[:6000], "c2": ref_text[6000:]})
+    db = index.hashblock_database
+    reads = []
+    for i in range(64):
+        which = 0 if rng.random() < 0.5 else 6000
+        limit = 6000 if which == 0 else 3000
+        n = int(rng.integers(40, 220))
+        pos = int(rng.integers(0, limit - n - 5))
+        read = list(ref_text[which + pos : which + pos + n])
+        for _ in range(int(rng.integers(0, 4))):
+            j = int(rng.integers(0, len(read)))
+            read[j] = {"A": "C", "C": "G", "G": "T", "T": "A"}[read[j]]
+        text = "".join(read)
+        if rng.random() < 0.5:
+            text = basepairs.decode(
+                basepairs.reverse_complement(basepairs.encode(text))
+            )
+        reads.append(Sequence.from_text(f"r{i}", text))
+    batch = ReadBatch.from_sequences(reads)
+
+    native_table = _generate_candidates_native(batch, db, 8, 12)
+    if native_table is None:
+        pytest.skip("native candidates library unavailable")
+
+    os.environ["MAPPER_TPU_NATIVE"] = "0"
+    try:
+        numpy_table = generate_candidates(batch, db)
+    finally:
+        os.environ["MAPPER_TPU_NATIVE"] = "1"
+
+    assert rows(native_table) == rows(numpy_table)
+
+
+def test_native_candidates_short_and_empty_reads():
+    index = Api.new_database({"c": "ACGTACGTACGTACGTACGTACGTACGTAC"})
+    db = index.hashblock_database
+    reads = [
+        Sequence.from_text("tiny", "A"),
+        Sequence.from_text("short", "ACGTA"),
+        Sequence.from_text("exact", "ACGTACGTACGTACGTACGTACGTACGTAC"),
+    ]
+    batch = ReadBatch.from_sequences(reads)
+    native_table = _generate_candidates_native(batch, db, 8, 12)
+    if native_table is None:
+        pytest.skip("native candidates library unavailable")
+    os.environ["MAPPER_TPU_NATIVE"] = "0"
+    try:
+        numpy_table = generate_candidates(batch, db)
+    finally:
+        os.environ["MAPPER_TPU_NATIVE"] = "1"
+    assert rows(native_table) == rows(numpy_table)
