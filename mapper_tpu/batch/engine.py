@@ -53,6 +53,7 @@ class BatchAligner:
         max_candidates_per_read: int = 8,
         listeners: list | None = None,
         tile: int = 1024,
+        pipeline_chunk_reads: int | None = 2048,
     ):
         self.reference_index = reference_index
         self.database = reference_index.hashblock_database
@@ -62,6 +63,9 @@ class BatchAligner:
         self.tile = tile
         self.max_query_length = max_query_length
         self.max_candidates_per_read = max_candidates_per_read
+        # chunked dispatch lets chunk k+1's host stages overlap chunk k's
+        # device scoring (None disables the pipeline)
+        self.pipeline_chunk_reads = pipeline_chunk_reads
         self.listeners = listeners if listeners is not None else []
         self.fallback_worker = AlignerWorker(reference_index, parameters)
         self.concat = self.seq_db.concatenated_codes()
@@ -93,7 +97,7 @@ class BatchAligner:
 
         if batch_indices:
             batch_queries = [queries[i] for i in batch_indices]
-            batch_results = self._align_single_end_batch(batch_queries)
+            batch_results = self._align_single_end_pipelined(batch_queries)
             for local, i in enumerate(batch_indices):
                 if batch_results[local] is None:
                     fallback_indices.append(i)
@@ -200,11 +204,37 @@ class BatchAligner:
 
     # ------------------------------------------------------------------
 
+    def _align_single_end_pipelined(
+        self, queries: list[Query]
+    ) -> list[QueryAlignments | None]:
+        """Software-pipelined single-end path: the batch is split into chunks
+        and chunk k+1's host work (candidate generation + window gathers) runs
+        while chunk k's scores compute on the device — JAX dispatch is async,
+        so the device stays busy during the host stages."""
+        chunk = self.pipeline_chunk_reads
+        if chunk is None or len(queries) <= chunk:
+            ctx = self._dispatch_single_end(queries)
+            return self._finish_single_end(ctx)
+        results: list[QueryAlignments | None] = []
+        pending = None
+        for lo in range(0, len(queries), chunk):
+            ctx = self._dispatch_single_end(queries[lo : lo + chunk])
+            if pending is not None:
+                results.extend(self._finish_single_end(pending))
+            pending = ctx
+        results.extend(self._finish_single_end(pending))
+        return results
+
     def _align_single_end_batch(
         self, queries: list[Query]
     ) -> list[QueryAlignments | None]:
         """Returns one QueryAlignments per query, or None where the exact
         sequential path must decide."""
+        return self._finish_single_end(self._dispatch_single_end(queries))
+
+    def _dispatch_single_end(self, queries: list[Query]):
+        """Host stages + asynchronous device dispatch for one chunk; returns an
+        opaque context consumed by _finish_single_end."""
         import os
         import time as _time
 
@@ -312,6 +342,7 @@ class BatchAligner:
         in_contig = (table.offset >= 0) & (table.offset + n_per_cand <= contig_len)
         use_device_diag = jax.default_backend() == "tpu"
         if use_device_diag:
+            # async dispatch: jnp results are futures until np.asarray in finish
             banded_dev, diag_dev = pallas_dp.banded_scores(
                 q_codes,
                 w_codes,
@@ -322,8 +353,61 @@ class BatchAligner:
                 tile=self.tile,
                 return_diag_sums=True,
             )
-            banded = np.asarray(banded_dev, dtype=np.float64)
-            diag_sums = np.asarray(diag_dev, dtype=np.float64)
+            host_ungapped = None
+        else:
+            banded_dev = pallas_dp.banded_scores(
+                q_codes, w_codes, n_per_cand, w_len, p, band=band, tile=self.tile
+            )
+            diag_dev = None
+            diag_start = seq_starts[table.ref_seq_index] + np.clip(table.offset, 0, None)
+            d_idx = diag_start[:, None] + np.arange(lq, dtype=np.int64)[None, :]
+            d_idx = np.minimum(d_idx, self.concat.shape[0] - 1)
+            ref_diag = self.concat[d_idx]
+            x_valid = np.arange(lq)[None, :] < n_per_cand[:, None]
+            pen = _base_penalty_np(q_codes, ref_diag, p)
+            host_ungapped = np.where(x_valid, pen, 0.0).sum(axis=1)
+            host_ungapped = np.where(in_contig, host_ungapped, np.inf)
+        mark("dispatch")
+        return {
+            "queries": queries,
+            "batch": batch,
+            "num_reads": num_reads,
+            "table": table,
+            "banded_dev": banded_dev,
+            "diag_dev": diag_dev,
+            "host_ungapped": host_ungapped,
+            "in_contig": in_contig,
+            "valid": valid,
+            "at_edge": at_edge,
+            "n_per_cand": n_per_cand,
+            "win_start_local": win_start_local,
+            "num_cands": num_cands,
+            "band": band,
+            "mark": mark,
+        }
+
+    def _finish_single_end(self, ctx) -> list[QueryAlignments | None]:
+        """Materialize one chunk's device scores and make the per-read
+        decisions (second pipeline stage)."""
+        if isinstance(ctx, list):  # empty-candidate chunk resolved at dispatch
+            return ctx
+        p = self.parameters
+        queries = ctx["queries"]
+        batch = ctx["batch"]
+        num_reads = ctx["num_reads"]
+        table = ctx["table"]
+        in_contig = ctx["in_contig"]
+        valid = ctx["valid"]
+        at_edge = ctx["at_edge"]
+        n_per_cand = ctx["n_per_cand"]
+        win_start_local = ctx["win_start_local"]
+        num_cands = ctx["num_cands"]
+        band = ctx["band"]
+        mark = ctx["mark"]
+
+        banded = np.asarray(ctx["banded_dev"], dtype=np.float64)
+        if ctx["diag_dev"] is not None:
+            diag_sums = np.asarray(ctx["diag_dev"], dtype=np.float64)
             # the voted offset's diagonal is band lane (offset - window start)
             lane = (table.offset - win_start_local).astype(np.int64)
             lane_valid = (lane >= 0) & (lane < band)
@@ -333,20 +417,7 @@ class BatchAligner:
                 np.inf,
             )
         else:
-            banded = np.asarray(
-                pallas_dp.banded_scores(
-                    q_codes, w_codes, n_per_cand, w_len, p, band=band, tile=self.tile
-                ),
-                dtype=np.float64,
-            )
-            diag_start = seq_starts[table.ref_seq_index] + np.clip(table.offset, 0, None)
-            d_idx = diag_start[:, None] + np.arange(lq, dtype=np.int64)[None, :]
-            d_idx = np.minimum(d_idx, self.concat.shape[0] - 1)
-            ref_diag = self.concat[d_idx]
-            x_valid = np.arange(lq)[None, :] < n_per_cand[:, None]
-            pen = _base_penalty_np(q_codes, ref_diag, p)
-            ungapped = np.where(x_valid, pen, 0.0).sum(axis=1)
-            ungapped = np.where(in_contig, ungapped, np.inf)
+            ungapped = ctx["host_ungapped"]
 
         mark("scoring")
         # --- per-read decisions (vectorized over the candidate table) ----
