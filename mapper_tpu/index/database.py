@@ -237,6 +237,35 @@ class HashBlockDatabase:
         n = len(seq)
 
         has_ambiguity = bool(np.any(basepairs.TWO_BIT_TABLE[codes] < 0))
+        if not has_ambiguity and self.enable_gapmers:
+            import os
+
+            if os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
+                from mapper_tpu import native
+
+                collected = native.native_collect_blocks(
+                    codes, self.min_interesting_size, lo, hi
+                )
+                if collected is not None:
+                    num_bp, fwd, rev, primary, secondary, start, length = collected
+                    if num_bp.shape[0]:
+                        self._emit(
+                            num_bp,
+                            fwd,
+                            rev,
+                            primary,
+                            secondary,
+                            start,
+                            length,
+                            np.zeros(num_bp.shape[0], dtype=bool),
+                            seq_start,
+                            rc_start,
+                            n,
+                            by_size_keys,
+                            by_size_positions,
+                            by_size_amb,
+                        )
+                    return
         if not has_ambiguity:
             prefixes = hashblock.GapmerPrefixes(codes)
             for row in hashblock.build_pyramid(codes):
@@ -342,6 +371,19 @@ class HashBlockDatabase:
         for k, size in enumerate(sizes.tolist()):
             store.setdefault(size, []).append(value_arr[inverse == k])
 
+    @staticmethod
+    def _append_grouped(stores_and_values, size_arr) -> None:
+        """Group several parallel value arrays by the shared size array with a
+        single stable sort (np.unique per array was the index-build hotspot)."""
+        order = np.argsort(size_arr, kind="stable")
+        sorted_sizes = size_arr[order]
+        distinct = np.nonzero(np.bincount(sorted_sizes))[0]
+        bounds = np.searchsorted(sorted_sizes, np.append(distinct, distinct[-1] + 1))
+        for store, values in stores_and_values:
+            sv = values[order]
+            for k, size in enumerate(distinct.tolist()):
+                store.setdefault(size, []).append(sv[bounds[k] : bounds[k + 1]])
+
     def _emit(
         self,
         num_bp,
@@ -383,9 +425,14 @@ class HashBlockDatabase:
         keys_cat = np.concatenate(keys_all)
         pos_cat = np.concatenate(pos_all)
         amb_cat = np.concatenate(amb_all)
-        self._append(by_size_keys, sizes_cat, keys_cat)
-        self._append(by_size_positions, sizes_cat, pos_cat)
-        self._append(by_size_amb, sizes_cat, amb_cat)
+        self._append_grouped(
+            [
+                (by_size_keys, keys_cat),
+                (by_size_positions, pos_cat),
+                (by_size_amb, amb_cat),
+            ],
+            sizes_cat,
+        )
 
     def merged_index(self):
         """A single cross-size view of all PackedIndex maps for one-gather

@@ -112,6 +112,11 @@ def get_candidates_library():
             p_i64 = ctypes.POINTER(ctypes.c_int64)
             p_i32 = ctypes.POINTER(ctypes.c_int32)
             p_u8 = ctypes.POINTER(ctypes.c_uint8)
+            lib.mapper_collect_blocks.restype = i64
+            lib.mapper_collect_blocks.argtypes = [
+                p_u8, i64, i32, i32, i32,
+                p_i32, p_i32, p_i32, p_u8, p_u8, p_i64, p_i32, i64,
+            ]
             lib.mapper_generate_candidates.restype = i64
             lib.mapper_generate_candidates.argtypes = [
                 p_u8, p_i64, i64,          # codes, read_starts, num_reads
@@ -215,6 +220,56 @@ def native_generate_candidates(
         out_seq[:n],
         out_offset[:n],
         out_votes[:n],
+    )
+
+
+def native_collect_blocks(
+    codes: np.ndarray, min_interesting: int, lo: int, hi: int
+):
+    """All index-insertable gapmers of one non-ambiguous sequence: arrays
+    (num_bp, fwd, rev, primary, secondary, start, length), or None when the
+    library is unavailable / the sequence has ambiguity codes."""
+    lib = get_candidates_library()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    cap = 6 * n + 64  # pyramid block count is ~4n (3/4 decay per row)
+    out_num_bp = np.empty(cap, dtype=np.int32)
+    out_fwd = np.empty(cap, dtype=np.int32)
+    out_rev = np.empty(cap, dtype=np.int32)
+    out_primary = np.empty(cap, dtype=np.uint8)
+    out_secondary = np.empty(cap, dtype=np.uint8)
+    out_start = np.empty(cap, dtype=np.int64)
+    out_length = np.empty(cap, dtype=np.int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    k = lib.mapper_collect_blocks(
+        codes.ctypes.data_as(p_u8),
+        n,
+        min_interesting,
+        lo,
+        hi,
+        out_num_bp.ctypes.data_as(p_i32),
+        out_fwd.ctypes.data_as(p_i32),
+        out_rev.ctypes.data_as(p_i32),
+        out_primary.ctypes.data_as(p_u8),
+        out_secondary.ctypes.data_as(p_u8),
+        out_start.ctypes.data_as(p_i64),
+        out_length.ctypes.data_as(p_i32),
+        cap,
+    )
+    if k < 0:
+        return None
+    return (
+        out_num_bp[:k],
+        out_fwd[:k],
+        out_rev[:k],
+        out_primary[:k].astype(bool),
+        out_secondary[:k].astype(bool),
+        out_start[:k],
+        out_length[:k],
     )
 
 

@@ -270,6 +270,192 @@ bool collect_seeds_one_read(const uint8_t* codes, int64_t len,
 
 }  // namespace
 
+// Index-build block collection for one (non-ambiguous) reference sequence:
+// every gapmer of every pyramid row with num_bp in [min_interesting, hi] and
+// num_bp > lo, with both polarity flags (exact port of the row loop in
+// index/database.py::_hash_sequence, gapmer mode).  Unlike the query-side
+// seed collection this includes the base row and keeps fwd+rev+both flags
+// (the database stores dual-polarity entries).  Returns the number of rows
+// written, -1 on output overflow, -2 on ambiguity (caller falls back).
+extern "C" int64_t mapper_collect_blocks(
+    const uint8_t* codes, int64_t len, int32_t min_interesting, int32_t lo,
+    int32_t hi, int32_t* out_num_bp, int32_t* out_fwd, int32_t* out_rev,
+    uint8_t* out_primary, uint8_t* out_secondary, int64_t* out_start,
+    int32_t* out_length, int64_t max_out) {
+  if (len <= 0) return 0;
+  std::vector<uint32_t> pow_b(len + 2), inv_pow_b(len + 2);
+  pow_b[0] = 1;
+  inv_pow_b[0] = 1;
+  for (int64_t i = 1; i <= len + 1; i++) {
+    pow_b[i] = pow_b[i - 1] * GAPMER_MULTIPLIER;
+    inv_pow_b[i] = inv_pow_b[i - 1] * GAPMER_MULTIPLIER_INV;
+  }
+  std::vector<uint32_t> pref_fwd(len + 1), pref_comp(len + 1);
+  pref_fwd[0] = 0;
+  pref_comp[0] = 0;
+  for (int64_t i = 0; i < len; i++) {
+    uint8_t c = codes[i];
+    if (TWO_BIT[c] < 0) return -2;
+    pref_fwd[i + 1] = pref_fwd[i] + (uint32_t)GAP_VAL[c] * pow_b[i];
+    pref_comp[i + 1] = pref_comp[i] + (uint32_t)GAP_VAL_COMP[c] * inv_pow_b[i];
+  }
+
+  std::vector<Block> row(len), next;
+  for (int64_t i = 0; i < len; i++) {
+    int8_t v = TWO_BIT[codes[i]];
+    Block& b = row[i];
+    b.start = (int32_t)i;
+    b.length = 1;
+    b.fwd = v;
+    b.rev = 3 - v;
+    b.extra = 0;
+    b.gap_dir = 0;
+    b.req_l = v < 2;
+    b.req_r = v >= 2;
+    b.next_l = (v & 1) == 0;
+    b.next_r = (v & 1) == 1;
+  }
+
+  int64_t w = 0;
+  while (true) {
+    if (row.empty()) break;
+    int32_t row_min_len = INT32_MAX, row_max_len = 0;
+    for (const Block& b : row) {
+      row_min_len = std::min(row_min_len, b.length);
+      row_max_len = std::max(row_max_len, b.length);
+    }
+    if (row_min_len > hi) break;
+
+    if (max_gapmer_num_bp(row_max_len) >= min_interesting) {
+      for (const Block& b : row) {
+        int32_t m = std::max(b.fwd, b.rev);
+        int32_t abs_m = wrap32((uint64_t)(m < 0 ? -(int64_t)m : (int64_t)m));
+        int32_t rem = abs_m % 3;
+        int64_t target_extra = (int64_t)b.length + rem + b.extra;
+        int64_t gap = b.length / 2;
+        int64_t ext_len = target_extra - gap;
+
+        int64_t g_start, g_len, g_num_bp;
+        int32_t g_fwd, g_rev;
+        bool is_self = b.gap_dir == 0;
+        if (is_self) {
+          g_start = b.start;
+          g_len = b.length;
+          g_num_bp = b.length;
+          g_fwd = b.fwd;
+          g_rev = b.rev;
+        } else {
+          int64_t ext_start, ext_end;
+          if (b.gap_dir < 0) {
+            ext_end = (int64_t)b.start - gap;
+            ext_start = ext_end - ext_len;
+            if (ext_start < 0) continue;
+            g_start = ext_start;
+          } else {
+            ext_start = (int64_t)b.start + b.length + gap;
+            ext_end = ext_start + ext_len;
+            if (ext_end > len) continue;
+            g_start = b.start;
+          }
+          int64_t cs = std::min(std::max(ext_start, (int64_t)0), len);
+          int64_t ce = std::min(std::max(ext_end, (int64_t)0), len);
+          uint32_t ext_hash;
+          if (b.gap_dir < 0) {
+            ext_hash = (pref_fwd[ce] - pref_fwd[cs]) * inv_pow_b[cs];
+          } else {
+            int64_t e1 = std::max(ce, (int64_t)1) - 1;
+            ext_hash = (pref_comp[ce] - pref_comp[cs]) * pow_b[e1];
+          }
+          g_fwd = wrap32((uint64_t)((int64_t)b.fwd + (int32_t)ext_hash));
+          g_rev = wrap32((uint64_t)((int64_t)b.rev + (int32_t)ext_hash));
+          g_len = b.length + gap + ext_len;
+          g_num_bp = b.length + ext_len;
+        }
+
+        if (g_num_bp < min_interesting || g_num_bp <= lo || g_num_bp > hi)
+          continue;
+
+        bool primary, secondary;
+        if (is_self && (b.req_l != b.req_r)) {
+          primary = b.req_l;
+          secondary = b.req_r;
+        } else {
+          primary = g_fwd >= g_rev;
+          secondary = g_fwd <= g_rev;
+        }
+        if (w >= max_out) return -1;
+        out_num_bp[w] = (int32_t)g_num_bp;
+        out_fwd[w] = g_fwd;
+        out_rev[w] = g_rev;
+        out_primary[w] = primary ? 1 : 0;
+        out_secondary[w] = secondary ? 1 : 0;
+        out_start[w] = g_start;
+        out_length[w] = (int32_t)g_len;
+        w++;
+      }
+    }
+
+    if (row.size() < 2) break;
+    // ---- merge to the next row ----
+    next.clear();
+    for (size_t i = 0; i + 1 < row.size(); i++) {
+      const Block& L = row[i];
+      const Block& R = row[i + 1];
+      if (!(L.start + L.length >= R.start && (L.req_r || R.req_l))) continue;
+      Block b;
+      b.start = L.start;
+      b.length = R.start + R.length - L.start;
+      b.fwd = merge_hashes(L.length, L.fwd, R.length, R.fwd);
+      b.rev = merge_hashes(R.length, R.rev, L.length, L.rev);
+
+      bool anchor_exists = L.fwd != R.rev;
+      bool anchor_is_right = L.fwd > R.rev;
+      bool asym = anchor_exists && (b.fwd != b.rev);
+      bool is_reverse = b.fwd < b.rev;
+      bool invert = (is_reverse == anchor_is_right);
+
+      bool a_nl = anchor_is_right ? R.next_l : L.next_l;
+      bool a_nr = anchor_is_right ? R.next_r : L.next_r;
+      if (a_nl && a_nr) {
+        if (anchor_is_right) a_nr = false; else a_nl = false;
+      }
+      bool o_nl = anchor_is_right ? L.next_l : R.next_l;
+      bool o_nr = anchor_is_right ? L.next_r : R.next_r;
+      if (o_nl && o_nr) {
+        if (!anchor_is_right) o_nl = false; else o_nr = false;
+      }
+
+      bool req_l = true, req_r = true, next_l = true, next_r = true;
+      if (asym) {
+        req_l = a_nl != invert;
+        req_r = a_nr != invert;
+        next_l = o_nl != invert;
+        next_r = o_nr != invert;
+      }
+      if (L.length != R.length) {
+        bool lg = L.length > R.length;
+        req_l = lg; req_r = !lg; next_l = !lg; next_r = lg;
+      }
+      if (b.fwd != b.rev) {
+        if (req_l && req_r) { req_l = b.fwd > b.rev; req_r = !req_l; }
+        if (next_l && next_r) { next_l = req_l; next_r = !req_l; }
+      }
+      b.req_l = req_l; b.req_r = req_r; b.next_l = next_l; b.next_r = next_r;
+
+      if (req_l != req_r) b.gap_dir = req_l ? 1 : -1;
+      else if (anchor_exists) b.gap_dir = anchor_is_right ? 1 : -1;
+      else b.gap_dir = 0;
+
+      int64_t extra_raw = (int64_t)L.length + R.length - b.length;
+      b.extra = (int32_t)(extra_raw / 4);
+
+      next.push_back(b);
+    }
+    row.swap(next);
+  }
+  return w;
+}
+
 extern "C" int64_t mapper_generate_candidates(
     // batch
     const uint8_t* codes, const int64_t* read_starts, int64_t num_reads,

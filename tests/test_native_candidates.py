@@ -82,3 +82,33 @@ def test_native_candidates_short_and_empty_reads():
     finally:
         os.environ["MAPPER_TPU_NATIVE"] = "1"
     assert rows(native_table) == rows(numpy_table)
+
+
+def test_native_index_build_matches_numpy():
+    """The native block collector must produce byte-identical PackedIndex maps."""
+    rng = np.random.default_rng(9)
+    refs = {
+        "c1": "".join(rng.choice(list("ACGT"), size=30000)),
+        "c2": "".join(rng.choice(list("ACGT"), size=12000)),
+    }
+
+    os.environ["MAPPER_TPU_NATIVE"] = "0"
+    try:
+        idx_np = Api.new_database(refs)
+    finally:
+        os.environ["MAPPER_TPU_NATIVE"] = "1"
+    idx_nat = Api.new_database(refs)
+
+    a = idx_np.hashblock_database
+    b = idx_nat.hashblock_database
+    assert a.max_fully_set_up_size == b.max_fully_set_up_size
+    for size in range(0, a.max_fully_set_up_size + 1):
+        ma, mb = a.maps.get(size), b.maps.get(size)
+        assert (ma is None) == (mb is None), size
+        if ma is None:
+            continue
+        for field in ("counts", "offsets", "values"):
+            assert np.array_equal(getattr(ma, field), getattr(mb, field)), (
+                size,
+                field,
+            )
