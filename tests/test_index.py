@@ -194,3 +194,21 @@ def test_ambiguous_reference_build():
     lo = seq_db.encode_position(ref, 10)
     found = seed_lookup_roundtrip(db, query, (lo, lo + 80))
     assert found >= 1
+
+
+def test_dircache_uniqueness_and_consistency(tmp_path):
+    """DirCache_Test analog (reference src/test/java/DirCache_Test.java via
+    MemoryFilesystem): 1000 distinct key sets map to 1000 distinct dirs, and
+    re-getting any key set returns the same dir."""
+    from mapper_tpu.index.dircache import DirCache
+
+    cache = DirCache(str(tmp_path))
+    dirs = {}
+    for i in range(1000):
+        keys = {"kind": "test", "n": str(i), "flavor": str(i % 7)}
+        d = cache.get_or_create_dir(keys)
+        assert d not in dirs.values()
+        dirs[i] = d
+    for i in (0, 1, 500, 999):
+        keys = {"kind": "test", "n": str(i), "flavor": str(i % 7)}
+        assert cache.get_or_create_dir(keys) == dirs[i]

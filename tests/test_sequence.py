@@ -79,3 +79,51 @@ def test_duplicate_names():
         [Sequence.from_text("x", "AC"), Sequence.from_text("x", "GG")]
     )
     assert db.get_duplicate_names() == ["x"]
+
+
+class _HugeFakeSequence(Sequence):
+    """RepeatingSequence analog (reference src/test/java/RepeatingSequence.java):
+    fakes a multi-gigabase sequence without materializing codes, to exercise
+    the int64 position codec past the 2^31 boundary."""
+
+    def __init__(self, name, n):
+        self.name = name
+        self.path = None
+        self.quality = None
+        self.complemented_from = None
+        self.identifier = -1
+        self._rc_cache = None
+        self._fake_len = n
+
+    def __len__(self):
+        return self._fake_len
+
+
+def test_position_codec_past_int32_boundary():
+    import numpy as np
+
+    big = 1 << 30
+    seqs = [
+        _HugeFakeSequence("a", big),
+        _HugeFakeSequence("b", big),
+        _HugeFakeSequence("c", big + 12345),
+    ]
+    db = SequenceDatabase(seqs)
+    assert db.total_size > (1 << 31)
+    probes = [
+        (seqs[0], 0),
+        (seqs[0], big - 1),
+        (seqs[1], 0),
+        (seqs[1], big - 1),  # encoded = 2^31 - 1
+        (seqs[2], 0),  # encoded = 2^31
+        (seqs[2], big + 12344),
+    ]
+    encoded = [db.encode_position(s, i) for s, i in probes]
+    assert encoded[3] == (1 << 31) - 1
+    assert encoded[4] == 1 << 31
+    for (s, i), e in zip(probes, encoded):
+        ds, di = db.decode_position(e)
+        assert ds is s and di == i
+    seq_idx, offsets = db.decode_positions(np.asarray(encoded, dtype=np.int64))
+    assert seq_idx.tolist() == [0, 0, 1, 1, 2, 2]
+    assert offsets.tolist() == [0, big - 1, 0, big - 1, 0, big + 12344]

@@ -183,6 +183,57 @@ def test_multiple_candidate_matches():
     assert len(alignments) == 2, [a.format() for a in alignments]
 
 
+def test_multiple_candidate_matches_2():
+    # java:204-239 ("testMultipleCandidateMatches2")
+    prefix = "G"
+    prefix_mutated = "T"
+    shared = (
+        "GACATTGGCAAAGTCAACAAAGCGGAAATCAAGGAAGCCATGGACGGCGTATTGAAGAAGATGCAGGGC"
+        "TTTGACTTTACCAAATTCAAGGAAGAACTTGGTAAGAGAGGTTTTAAAGTCCGGGAAGCCAGGGCAAGC"
+        "ACCGGGAAACTC"
+    )
+    query1 = Sequence.from_text("query1", prefix + shared)
+    query2 = Sequence.from_text("query2", rc_text(shared))
+    candidate = prefix_mutated + shared
+    reference = "C" + candidate + candidate + "TTTT"
+    query = Query(
+        [query1, query2],
+        expected_inner_distance=-len(candidate),
+        spacing_deviation_per_unit_penalty=len(candidate) // 4 // 6,
+    )
+    parameters = AlignmentParameters(
+        mutation_penalty=6.0,
+        insertion_start_penalty=9.0,
+        insertion_extension_penalty=5.4,
+        deletion_start_penalty=9.0,
+        deletion_extension_penalty=4.5,
+        max_error_rate=1.2,
+        ambiguity_penalty=1.2,
+        unaligned_penalty=1.2,
+        max_penalty_span=0.0,
+    )
+    alignments = align(query, reference, parameters)
+    assert len(alignments) == 2, [a.format() for a in alignments]
+
+
+def test_rounding_error_1():
+    # java:241-278 ("testPairedEndQueriesRoundingError")
+    prefix = "AAACCCGGGTTTAAAACCCCGGGGTTTTAAAAACCCCCGGGGG"
+    shared = (
+        "GACATTGGCAAAGTCAACAAAGCGGAAATCAAGGAAGCCATGGACGGGGTATTGAAGAAGATGCAGGGC"
+        "TTTGACTTTACCAAATTCAAGGAAGAACTTGGTAAGAG"
+    )
+    shared_mutated = (
+        "GACATTGGCAAAGTCAACAAAGCGGAAATCAAGGAAGCCATGGACGGCGTATTGAAGAAGATGCAGGGC"
+        "TTTGACTTTACCAAATTCAAGGAAGAACTTGGTAAGAG"
+    )
+    suffix = "AGGTTTTAAAGTCCGGGAAGCCAGGGCAAGCACCGGGAAACTC"
+    alignments = run_rounding_case(
+        prefix + shared_mutated, shared + suffix, prefix + shared + suffix
+    )
+    assert len(alignments) == 2, [a.format() for a in alignments]
+
+
 ROUNDING_PARAMS = dict(
     mutation_penalty=6.0,
     insertion_start_penalty=9.0,
