@@ -212,13 +212,21 @@ class BatchAligner:
         while chunk k's scores compute on the device — JAX dispatch is async,
         so the device stays busy during the host stages."""
         chunk = self.pipeline_chunk_reads
-        if chunk is None or len(queries) <= chunk:
+        n = len(queries)
+        if chunk is None or n <= chunk:
             ctx = self._dispatch_single_end(queries)
             return self._finish_single_end(ctx)
+        # even chunk sizes (no ragged tail) keep the padded candidate count in
+        # the same compile-size bucket across chunks and across batches
+        k = -(-n // chunk)
+        base, extra = divmod(n, k)
         results: list[QueryAlignments | None] = []
         pending = None
-        for lo in range(0, len(queries), chunk):
-            ctx = self._dispatch_single_end(queries[lo : lo + chunk])
+        lo = 0
+        for i in range(k):
+            hi = lo + base + (1 if i < extra else 0)
+            ctx = self._dispatch_single_end(queries[lo:hi])
+            lo = hi
             if pending is not None:
                 results.extend(self._finish_single_end(pending))
             pending = ctx
