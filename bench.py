@@ -93,6 +93,12 @@ def main():
                     "fallback_reads": engine.stats_fallback_reads,
                     "index_build_seconds": round(index_seconds, 2),
                     "align_seconds": round(elapsed, 2),
+                    # banded-DP cells processed per wall-second end-to-end
+                    # (~1 window of lq x band cells per read; the kernel-only
+                    # rate is higher — see BENCH.md)
+                    "e2e_dp_gcells_per_s": round(
+                        len(queries) * 160 * 128 / elapsed / 1e9, 3
+                    ),
                 },
             }
         )
