@@ -37,7 +37,12 @@ from mapper_tpu.align.blocks import (
 )
 from mapper_tpu.align.query import Query
 from mapper_tpu.align.worker import AlignerWorker
-from mapper_tpu.batch.candidates import CandidateTable, ReadBatch, generate_candidates
+from mapper_tpu.batch.candidates import (
+    CandidateTable,
+    ReadBatch,
+    _ranges,
+    generate_candidates,
+)
 from mapper_tpu.sequence import Sequence
 
 EPS = 1e-3
@@ -54,6 +59,7 @@ class BatchAligner:
         listeners: list | None = None,
         tile: int = 1024,
         pipeline_chunk_reads: int | None = 2048,
+        paired_vectorized: bool = True,
     ):
         self.reference_index = reference_index
         self.database = reference_index.hashblock_database
@@ -66,6 +72,7 @@ class BatchAligner:
         # chunked dispatch lets chunk k+1's host stages overlap chunk k's
         # device scoring (None disables the pipeline)
         self.pipeline_chunk_reads = pipeline_chunk_reads
+        self.paired_vectorized = paired_vectorized
         self.listeners = listeners if listeners is not None else []
         self.fallback_worker = AlignerWorker(reference_index, parameters)
         self.concat = self.seq_db.concatenated_codes()
@@ -123,84 +130,449 @@ class BatchAligner:
         return results
 
     # ------------------------------------------------------------------
+    # paired-end batch path
+    # ------------------------------------------------------------------
 
     def _align_paired_batch(self, queries: list[Query]) -> list[QueryAlignments | None]:
-        """Paired-end batch path: one batched candidate pass over both mates'
-        component sequences, then exact pairing + extension
-        (query_aligner.py's algebra with the native DP) on the trimmed
-        candidate set.  Falls back per pair when nothing pairs."""
-        from mapper_tpu.align.candidates import PathsCounter, SequenceMatch
-        from mapper_tpu.align.query_aligner import QueryMatchAligner
+        """Paired-end batch path, mirroring the single-end design: one batched
+        candidate pass over both mates' component sequences, device scoring of
+        every candidate window, vectorized pairing windows + spacing-penalty +
+        accept/cutoff algebra (QueryMatch_Aligner.java:35-54,71-92,530-546 recast
+        as array math), and direct ungapped emission for clean pairs.  Pairs
+        needing the overlap algebra (negative inner distance), contig-edge
+        economics, or indel placement defer to the exact per-pair path
+        (_align_paired_pair_exact); pairs with no viable combination return
+        None for the sequential fallback worker (mate rescue)."""
+        if not queries:
+            return []
+        chunk = self.pipeline_chunk_reads
+        n = len(queries)
+        chunk_pairs = None if chunk is None else max(1, chunk // 2)
+        if chunk_pairs is None or n <= chunk_pairs:
+            return self._finish_paired(self._dispatch_paired(queries))
+        # even chunks, software-pipelined: chunk k+1's host stages overlap
+        # chunk k's device scoring (same scheme as the single-end path)
+        k = -(-n // chunk_pairs)
+        base, extra = divmod(n, k)
+        results: list[QueryAlignments | None] = []
+        pending = None
+        lo = 0
+        for i in range(k):
+            hi = lo + base + (1 if i < extra else 0)
+            ctx = self._dispatch_paired(queries[lo:hi])
+            lo = hi
+            if pending is not None:
+                results.extend(self._finish_paired(pending))
+            pending = ctx
+        results.extend(self._finish_paired(pending))
+        return results
 
+    def _dispatch_paired(self, queries: list[Query]):
+        """Host stages + asynchronous device dispatch for one chunk of pairs."""
         p = self.parameters
+        num_pairs = len(queries)
         components: list[Sequence] = []
         for query in queries:
             components.append(query.get_sequence(0))
             components.append(query.get_sequence(1).reverse_complement())
         batch = ReadBatch.from_sequences(components)
+        self.stats_batch_reads += num_pairs
         table = generate_candidates(
             batch, self.database, max_candidates_per_read=self.max_candidates_per_read
         )
         order = np.argsort(table.read_id, kind="stable")
-        boundaries = np.searchsorted(
-            table.read_id[order], np.arange(2 * len(queries) + 1)
+        bounds = np.searchsorted(table.read_id[order], np.arange(2 * num_pairs + 1))
+        combos = self._paired_combos(queries, batch, table, order, bounds)
+
+        if not self.paired_vectorized or len(table) == 0 or combos["pair"].shape[0] == 0:
+            return {
+                "exact": True,
+                "queries": queries,
+                "components": components,
+                "table": table,
+                "combos": combos,
+            }
+
+        # per-pair banded window sized for the whole pair budget: the exact
+        # path can grant one mate nearly the entire pair budget
+        # (QueryMatch_Aligner.java:207-239), so certification needs the band
+        # to cover the pair-level max indel, not the per-mate one
+        total_len = batch.lengths[0::2] + batch.lengths[1::2]
+        max_indel_pair = np.maximum(
+            0,
+            (
+                (total_len * p.max_error_rate - p.deletion_start_penalty)
+                / p.deletion_extension_penalty
+            ).astype(np.int64),
+        )
+        if self.band is not None:
+            band = self.band
+        else:
+            band = 64 if int(max_indel_pair.max(initial=0)) <= 31 else 128
+        certified_pair = max_indel_pair <= band // 2
+
+        # pairs that will defer regardless of scores (overlap algebra or an
+        # uncertifiable band) never need device scoring; neither do combos
+        # whose spacing penalty alone exceeds the pair budget (the exact
+        # path's min-possible early reject, QueryMatch_Aligner.java:95-101)
+        pair_of = combos["pair"]
+        max_allowed = np.nextafter(
+            total_len.astype(np.float64) * p.max_error_rate, np.inf
+        )
+        pre_defer = ~certified_pair
+        if pair_of.shape[0]:
+            overlap_pairs = pair_of[combos["inner"] < 0]
+            pre_defer = pre_defer.copy()
+            pre_defer[overlap_pairs] = True
+        alive = (
+            (combos["inner"] >= 0)
+            & (combos["spacing"] <= max_allowed[pair_of])
+            & ~pre_defer[pair_of]
+        )
+        combos = dict(combos)
+        combos["alive"] = alive
+
+        # only rows that participate in a live combo need device scores
+        used = np.unique(
+            np.concatenate([combos["row0"][alive], combos["row1"][alive]])
+        )
+        if used.shape[0] == 0:
+            return {
+                "exact": True,
+                "queries": queries,
+                "components": components,
+                "table": table,
+                "combos": combos,
+            }
+        inv = np.full(len(table), 0, dtype=np.int64)  # dead combos index row 0
+        inv[used] = np.arange(used.shape[0])
+        subtable = CandidateTable(
+            table.read_id[used],
+            table.reversed_[used],
+            table.ref_seq_index[used],
+            table.offset[used],
+            table.votes[used],
+        )
+        combos["srow0"] = inv[combos["row0"]]
+        combos["srow1"] = inv[combos["row1"]]
+
+        shift_per_component = np.minimum(np.repeat(max_indel_pair, 2), band // 2)
+        sctx = self._dispatch_scores(components, batch, subtable, shift_per_component, band)
+        return {
+            "exact": False,
+            "queries": queries,
+            "components": components,
+            "batch": batch,
+            "table": table,
+            "combos": combos,
+            "sctx": sctx,
+            "total_len": total_len,
+            "certified_pair": certified_pair,
+            "pre_defer": pre_defer,
+        }
+
+    def _finish_paired(self, ctx) -> list[QueryAlignments | None]:
+        queries = ctx["queries"]
+        if ctx["exact"]:
+            return [
+                self._align_paired_pair_exact(
+                    queries[i], ctx["components"], ctx["table"], ctx["combos"], i
+                )
+                for i in range(len(queries))
+            ]
+        ungapped, banded = self._finish_scores(ctx["sctx"])
+        return self._paired_decisions(
+            queries, ctx["components"], ctx["batch"], ctx["table"], ctx["combos"],
+            ctx["sctx"], ungapped, banded, ctx["total_len"], ctx["pre_defer"],
         )
 
-        results: list[QueryAlignments | None] = []
-        for pair_idx, query in enumerate(queries):
-            max_interesting = query.get_length() * p.max_error_rate
-            max_inner = int(
-                max_interesting * query.get_spacing_deviation_per_unit_penalty()
-                + query.get_expected_inner_distance()
-            )
-            counters_per_component = []
-            for ci in range(2):
-                read_id = 2 * pair_idx + ci
-                rows = order[boundaries[read_id] : boundaries[read_id + 1]]
-                component_seq = components[read_id]
-                shims = []
-                for c in rows.tolist():
-                    ref = self.seq_db.get_sequence(int(table.ref_seq_index[c]))
-                    if table.reversed_[c]:
-                        seq_a = component_seq.reverse_complement()
-                    else:
-                        seq_a = component_seq
-                    match = SequenceMatch(seq_a, ref, int(table.offset[c]))
-                    shims.append(_CounterShim(match))
-                counters_per_component.append(shims)
+    def _paired_combos(self, queries, batch, table, order, bounds):
+        """Vectorized pairing: every (mate1-candidate, mate2RC-candidate)
+        combination on the same strand sense and contig within the spacing
+        window, in the exact discovery order of the reference's pairing scan
+        (HashBlockPaths_Counter.java:136-247: iterate the larger component's
+        candidates, search the smaller component's sorted offsets, descending
+        when the pair sense is reversed)."""
+        p = self.parameters
+        num_pairs = len(queries)
+        total_len = batch.lengths[0::2] + batch.lengths[1::2]
+        max_interesting = total_len * p.max_error_rate
+        dev = np.array(
+            [q.get_spacing_deviation_per_unit_penalty() for q in queries], dtype=np.float64
+        )
+        expected = np.array(
+            [q.get_expected_inner_distance() for q in queries], dtype=np.int64
+        )
+        max_inner = np.trunc(max_interesting * dev + expected).astype(np.int64)
+        max_off = max_inner + batch.lengths[0::2]
 
-            paths_counter = PathsCounter.__new__(PathsCounter)
-            paths_counter.components = []
-            paths_counter.max_offset_between_components = max_inner + len(
-                query.get_sequence(0)
-            )
-            paths_counter.found_nonempty_result = True
-            paths_counter._prev_components = None
-            paths_counter._prev_matches = None
-            pair_matches = paths_counter._match_without_cache(counters_per_component)
+        counts0 = bounds[1::2] - bounds[0:-1:2]
+        counts1 = bounds[2::2] - bounds[1::2]
+        combo_count = counts0 * counts1
+        pair_of = np.repeat(np.arange(num_pairs), combo_count)
+        k_local = _ranges(combo_count)
+        c1 = counts1[pair_of]
+        i = k_local // np.maximum(c1, 1)
+        j = k_local - i * c1
+        row0 = order[bounds[2 * pair_of] + i]
+        row1 = order[bounds[2 * pair_of + 1] + j]
 
-            if not pair_matches:
-                results.append(None)
+        same = (table.reversed_[row0] == table.reversed_[row1]) & (
+            table.ref_seq_index[row0] == table.ref_seq_index[row1]
+        )
+        qmr = table.reversed_[row0]
+        case_a = (counts0 <= counts1)[pair_of]
+        len0 = batch.lengths[2 * pair_of]
+        len1 = batch.lengths[2 * pair_of + 1]
+        maxrev = np.where(case_a, len1 // 2, len0 // 2)
+        o0 = table.offset[row0]
+        o1 = table.offset[row1]
+        delta = o1 - o0
+        mo = max_off[pair_of]
+        in_window = np.where(
+            qmr,
+            (delta >= -mo) & (delta <= maxrev),
+            (delta >= -maxrev) & (delta <= mo),
+        )
+        keep = same & in_window
+        pair_of, row0, row1, qmr, i, j, o0, o1, case_a, len0, len1 = (
+            a[keep] for a in (pair_of, row0, row1, qmr, i, j, o0, o1, case_a, len0, len1)
+        )
+        # discovery order: (iterated-row rank, other offset asc, desc if reversed)
+        key1 = np.where(case_a, j, i)
+        key2 = np.where(case_a, np.where(qmr, -o0, o0), np.where(qmr, -o1, o1))
+        sort = np.lexsort((key2, key1, pair_of))
+        pair_of, row0, row1, qmr, o0, o1, len0, len1 = (
+            a[sort] for a in (pair_of, row0, row1, qmr, o0, o1, len0, len1)
+        )
+
+        _, _, seq_lengths = _tables(self.database)
+        contig = seq_lengths[table.ref_seq_index[row0]]
+        s0 = np.maximum(0, o0)
+        e0 = np.minimum(o0 + len0, contig)
+        s1 = np.maximum(0, o1)
+        e1 = np.minimum(o1 + len1, contig)
+        inner = np.where(qmr, s0 - e1, s1 - e0)
+        tl = total_len[pair_of]
+        overlapish = (inner < 0) & (inner > -tl)
+        spacing = np.where(
+            overlapish,
+            0.0,
+            np.trunc(np.abs(inner - expected[pair_of]).astype(np.float64) / dev[pair_of]),
+        )
+        return {
+            "pair": pair_of,
+            "row0": row0,
+            "row1": row1,
+            "qmr": qmr,
+            "inner": inner,
+            "spacing": spacing,
+        }
+
+    def _paired_decisions(
+        self, queries, components, batch, table, combos, sctx, ungapped, banded,
+        total_len, pre_defer,
+    ) -> list[QueryAlignments | None]:
+        p = self.parameters
+        num_pairs = len(queries)
+        pair_of = combos["pair"]
+        row0, row1 = combos["row0"], combos["row1"]
+        srow0, srow1 = combos["srow0"], combos["srow1"]
+        spacing = combos["spacing"]
+        alive = combos["alive"]
+
+        score = np.where(sctx["valid"], np.minimum(banded, ungapped), np.inf)
+        total = np.where(alive, score[srow0] + score[srow1] + spacing, np.inf)
+        tl = total_len[pair_of].astype(np.float64)
+        max_allowed = np.nextafter(tl * p.max_error_rate, np.inf)
+        viable = total <= max_allowed
+
+        pbounds = np.searchsorted(pair_of, np.arange(num_pairs + 1))
+        starts, ends = pbounds[:-1], pbounds[1:]
+        nonempty = starts < ends
+        best = np.full(num_pairs, np.inf)
+        if pair_of.shape[0]:
+            safe_starts = np.minimum(starts, pair_of.shape[0] - 1)
+            best = np.where(nonempty, np.minimum.reduceat(total, safe_starts), np.inf)
+
+        # the tightening-MaxErrorRate + Max_PenaltySpan cutoff algebra
+        # (QueryMatch_Aligner.java:35-54,71-92) in float64
+        ptl = total_len.astype(np.float64)
+        target = best + p.max_penalty_span
+        ratio = target / ptl
+        tightened = np.where(ratio * ptl < target, np.nextafter(ratio, np.inf), ratio)
+        rate_final = np.minimum(p.max_error_rate, tightened)
+        cutoff = np.minimum(target, ptl * rate_final)
+        emit = viable & (total <= cutoff[pair_of])
+
+        # deferral to the exact per-pair path
+        unclean_row = (
+            sctx["at_edge"] | ~sctx["in_contig"] | (banded < ungapped - EPS)
+        )
+        combo_defer = viable & (unclean_row[srow0] | unclean_row[srow1])
+        defer = pre_defer.copy()
+        defer[pair_of[combo_defer]] = True
+        emit &= ~defer[pair_of]
+        emit_counts = np.bincount(pair_of[emit], minlength=num_pairs)
+
+        # batched emission: exact float64 penalties for every emitted
+        # component in a handful of vectorized passes
+        pen0, pen1 = self._emitted_pair_penalties(components, table, combos, emit)
+        exact_total = pen0 + pen1 + spacing[emit]
+        emit_pair = pair_of[emit]
+        # float64 recheck of the device-float32 accept (disagreement defers)
+        bad64 = exact_total > max_allowed[emit]
+        defer[emit_pair[bad64]] = True
+
+        results: list[QueryAlignments | None] = [None] * num_pairs
+        deferred: list[int] = []
+        e_row0, e_row1 = row0[emit], row1[emit]
+        e_spacing = spacing[emit]
+        ebounds = np.searchsorted(emit_pair, np.arange(num_pairs + 1))
+        for pi in range(num_pairs):
+            if not nonempty[pi]:
+                continue  # no pairing at all: sequential fallback (mate rescue)
+            if defer[pi]:
+                deferred.append(pi)
                 continue
-            aligner = QueryMatchAligner(query, p, self.reference_index)
-            for match in pair_matches:
-                aligner.align(match)
-            best = aligner.get_best_alignments()
-            if not best:
-                results.append(None)  # mate-rescue paths: sequential fallback
+            if not np.isfinite(best[pi]):
+                continue  # nothing viable: sequential fallback
+            query = queries[pi]
+            if emit_counts[pi] > p.max_num_matches:
+                results[pi] = QueryAlignments.unaligned(query.get_sequences())
                 continue
-            for choice in best:  # ancestral -> original coordinate rewrite
-                computed = choice.get_sequence_b()
-                original = self.reference_index.get_original_sequence(computed)
-                if original is not computed:
-                    choice.put_sequence_b(original)
-            if len(best) > p.max_num_matches:
-                results.append(QueryAlignments.unaligned(query.get_sequences()))
-                continue
-            results.append(
-                QueryAlignments.single_component(query.get_sequences(), best)
+            choices = []
+            for c in range(int(ebounds[pi]), int(ebounds[pi + 1])):
+                choices.append(
+                    self._make_ungapped_pair(
+                        query, components, table, int(e_row0[c]), int(e_row1[c]),
+                        float(e_spacing[c]), float(pen0[c]), float(pen1[c]),
+                    )
+                )
+            results[pi] = QueryAlignments.single_component(query.get_sequences(), choices)
+
+        for pi in deferred:
+            results[pi] = self._align_paired_pair_exact(
+                queries[pi], components, table, combos, pi
             )
         return results
+
+    def _emitted_pair_penalties(self, components, table, combos, emit):
+        """Exact float64 ungapped penalties of the emitted combos' mates,
+        computed in batched passes grouped by read length (the per-length
+        grouping keeps numpy's pairwise summation order identical to the
+        per-block np.sum in blocks.block_penalty)."""
+        rows = np.concatenate([combos["row0"][emit], combos["row1"][emit]])
+        k = rows.shape[0]
+        pens = np.zeros(k, dtype=np.float64)
+        if k == 0:
+            return pens[:0], pens[:0]
+        read_id = table.read_id[rows]
+        lengths = np.array([len(c) for c in components], dtype=np.int64)[read_id]
+        seq_starts = self.seq_db.starts
+        diag_start = seq_starts[table.ref_seq_index[rows]] + table.offset[rows]
+        for n in np.unique(lengths).tolist():
+            sel = np.nonzero(lengths == n)[0]
+            q = np.zeros((sel.shape[0], n), dtype=np.uint8)
+            for out_i, r in enumerate(rows[sel].tolist()):
+                seq = components[int(table.read_id[r])]
+                codes = seq.codes
+                if table.reversed_[r]:
+                    codes = basepairs.reverse_complement(codes)
+                q[out_i] = codes
+            d_idx = diag_start[sel][:, None] + np.arange(n, dtype=np.int64)[None, :]
+            ref_diag = self.concat[d_idx]
+            pens[sel] = np.sum(
+                self.parameters.base_penalty(q, ref_diag).astype(np.float64), axis=1
+            )
+        half = k // 2
+        return pens[:half], pens[half:]
+
+    def _make_ungapped_pair(
+        self,
+        query,
+        components,
+        table,
+        r0: int,
+        r1: int,
+        spacing_penalty: float,
+        pen0: float | None = None,
+        pen1: float | None = None,
+    ) -> QueryAlignment | None:
+        parts = []
+        pair_index = int(table.read_id[r0]) // 2
+        for ci, r, pen in ((0, r0, pen0), (1, r1, pen1)):
+            base = components[2 * pair_index + ci]
+            seq_a = base.reverse_complement() if table.reversed_[r] else base
+            alignment = self._make_ungapped_component(
+                seq_a, int(table.ref_seq_index[r]), int(table.offset[r]), pen
+            )
+            if alignment is None:
+                return None
+            parts.append(alignment)
+        total = parts[0].get_penalty() + parts[1].get_penalty() + spacing_penalty
+        actual_inner = parts[1].get_start_index_b() - parts[0].get_end_index_b()
+        return QueryAlignment(parts, spacing_penalty, 1.0, 0.0, total, actual_inner)
+
+    def _make_ungapped_component(
+        self, seq_a, ref_index: int, offset: int, penalty: float | None = None
+    ):
+        """Full-length ungapped SequenceAlignment of seq_a at the given contig
+        offset (with the ancestral->original rewrite), or None off-contig.
+        `penalty` short-circuits the per-base sum when precomputed (it must
+        equal blocks.block_penalty's value bit-for-bit)."""
+        ref = self.seq_db.get_sequence(ref_index)
+        if offset < 0 or offset + len(seq_a) > len(ref):
+            return None
+        original = self.reference_index.get_original_sequence(ref)
+        if original is not ref:
+            block = AlignedBlock(
+                seq_a, original, 0, offset, len(seq_a), len(seq_a),
+                sequence_b_history=ref,
+            )
+        else:
+            block = AlignedBlock(seq_a, ref, 0, offset, len(seq_a), len(seq_a))
+        reversed_flag = seq_a.complemented_from is not None
+        if penalty is None:
+            return new_sequence_alignment([block], reversed_flag, self.parameters)
+        from mapper_tpu.align.blocks import SequenceAlignment
+
+        return SequenceAlignment([block], reversed_flag, penalty, penalty)
+
+    def _align_paired_pair_exact(
+        self, query, components, table, combos, pair_index: int
+    ) -> QueryAlignments | None:
+        """Exact per-pair path over this pair's combos (discovery order):
+        the full QueryMatch_Aligner algebra — overlap join/split, duplication
+        bonus, budget re-allocation — on the batch-voted candidate set."""
+        from mapper_tpu.align.candidates import QueryMatch, SequenceMatch
+        from mapper_tpu.align.query_aligner import QueryMatchAligner
+
+        p = self.parameters
+        pair_of = combos["pair"]
+        sel = np.nonzero(pair_of == pair_index)[0]
+        if sel.shape[0] == 0:
+            return None
+        aligner = QueryMatchAligner(query, p, self.reference_index)
+        for c in sel.tolist():
+            matches = []
+            for ci, r in ((0, int(combos["row0"][c])), (1, int(combos["row1"][c]))):
+                base = components[2 * pair_index + ci]
+                seq_a = base.reverse_complement() if table.reversed_[r] else base
+                ref = self.seq_db.get_sequence(int(table.ref_seq_index[r]))
+                matches.append(SequenceMatch(seq_a, ref, int(table.offset[r])))
+            aligner.align(QueryMatch(matches, 0, hint_forward_order=False))
+        best = aligner.get_best_alignments()
+        if not best:
+            return None  # mate-rescue paths: sequential fallback
+        for choice in best:  # ancestral -> original coordinate rewrite
+            computed = choice.get_sequence_b()
+            original = self.reference_index.get_original_sequence(computed)
+            if original is not computed:
+                choice.put_sequence_b(original)
+        if len(best) > p.max_num_matches:
+            return QueryAlignments.unaligned(query.get_sequences())
+        return QueryAlignments.single_component(query.get_sequences(), best)
 
     # ------------------------------------------------------------------
 
@@ -306,6 +678,25 @@ class BatchAligner:
         if len(table) == 0:
             return [None] * num_reads
 
+        sctx = self._dispatch_scores(reads, batch, table, shift, band)
+        mark("dispatch")
+        return {
+            "queries": queries,
+            "batch": batch,
+            "num_reads": num_reads,
+            "table": table,
+            "sctx": sctx,
+            "band": band,
+            "mark": mark,
+        }
+
+    def _dispatch_scores(self, seqs, batch, table, shift, band):
+        """Candidate-window construction + asynchronous device scoring for one
+        candidate table.  `seqs` holds one Sequence per batch read id; `shift`
+        is the per-read half-window (int64[num_reads]).  Returns a context to
+        be materialized by _finish_scores."""
+        p = self.parameters
+        num_reads = batch.num_reads
         seq_starts = self.seq_db.starts
         _, _, seq_lengths = _tables(self.database)
         n_per_cand = batch.lengths[table.read_id]
@@ -330,7 +721,7 @@ class BatchAligner:
         # query codes per candidate (RC codes for reverse-strand candidates)
         q_mat = np.zeros((num_reads, lq), dtype=np.uint8)
         rc_mat = np.zeros((num_reads, lq), dtype=np.uint8)
-        for r, seq in enumerate(reads):
+        for r, seq in enumerate(seqs):
             q_mat[r, : len(seq)] = seq.codes
             rc_mat[r, : len(seq)] = basepairs.reverse_complement(seq.codes)
         q_codes = np.where(
@@ -346,7 +737,6 @@ class BatchAligner:
 
         import jax
 
-        mark("windows")
         in_contig = (table.offset >= 0) & (table.offset + n_per_cand <= contig_len)
         use_device_diag = jax.default_backend() == "tpu"
         if use_device_diag:
@@ -375,11 +765,7 @@ class BatchAligner:
             pen = _base_penalty_np(q_codes, ref_diag, p)
             host_ungapped = np.where(x_valid, pen, 0.0).sum(axis=1)
             host_ungapped = np.where(in_contig, host_ungapped, np.inf)
-        mark("dispatch")
         return {
-            "queries": queries,
-            "batch": batch,
-            "num_reads": num_reads,
             "table": table,
             "banded_dev": banded_dev,
             "diag_dev": diag_dev,
@@ -391,8 +777,28 @@ class BatchAligner:
             "win_start_local": win_start_local,
             "num_cands": num_cands,
             "band": band,
-            "mark": mark,
         }
+
+    def _finish_scores(self, sctx):
+        """Materialize the device scores of a _dispatch_scores context:
+        (ungapped, banded) float64 arrays per candidate row."""
+        table = sctx["table"]
+        band = sctx["band"]
+        num_cands = sctx["num_cands"]
+        banded = np.asarray(sctx["banded_dev"], dtype=np.float64)
+        if sctx["diag_dev"] is not None:
+            diag_sums = np.asarray(sctx["diag_dev"], dtype=np.float64)
+            # the voted offset's diagonal is band lane (offset - window start)
+            lane = (table.offset - sctx["win_start_local"]).astype(np.int64)
+            lane_valid = (lane >= 0) & (lane < band)
+            ungapped = np.where(
+                sctx["in_contig"] & lane_valid,
+                diag_sums[np.arange(num_cands), np.clip(lane, 0, band - 1)],
+                np.inf,
+            )
+        else:
+            ungapped = sctx["host_ungapped"]
+        return ungapped, banded
 
     def _finish_single_end(self, ctx) -> list[QueryAlignments | None]:
         """Materialize one chunk's device scores and make the per-read
@@ -404,29 +810,13 @@ class BatchAligner:
         batch = ctx["batch"]
         num_reads = ctx["num_reads"]
         table = ctx["table"]
-        in_contig = ctx["in_contig"]
-        valid = ctx["valid"]
-        at_edge = ctx["at_edge"]
-        n_per_cand = ctx["n_per_cand"]
-        win_start_local = ctx["win_start_local"]
-        num_cands = ctx["num_cands"]
-        band = ctx["band"]
+        sctx = ctx["sctx"]
+        valid = sctx["valid"]
+        at_edge = sctx["at_edge"]
+        n_per_cand = sctx["n_per_cand"]
         mark = ctx["mark"]
 
-        banded = np.asarray(ctx["banded_dev"], dtype=np.float64)
-        if ctx["diag_dev"] is not None:
-            diag_sums = np.asarray(ctx["diag_dev"], dtype=np.float64)
-            # the voted offset's diagonal is band lane (offset - window start)
-            lane = (table.offset - win_start_local).astype(np.int64)
-            lane_valid = (lane >= 0) & (lane < band)
-            ungapped = np.where(
-                in_contig & lane_valid,
-                diag_sums[np.arange(num_cands), np.clip(lane, 0, band - 1)],
-                np.inf,
-            )
-        else:
-            ungapped = ctx["host_ungapped"]
-
+        ungapped, banded = self._finish_scores(sctx)
         mark("scoring")
         # --- per-read decisions (vectorized over the candidate table) ----
         max_allowed = np.nextafter(n_per_cand * p.max_error_rate, np.inf)
@@ -519,19 +909,6 @@ class BatchAligner:
         if alignment.get_penalty() > max_allowed:
             return None
         return QueryAlignment(alignment)
-
-
-class _CounterShim:
-    """Just enough of MatchCounter for PathsCounter pairing."""
-
-    __slots__ = ("match", "priority")
-
-    def __init__(self, match):
-        self.match = match
-        self.priority = 0
-
-    def get_num_distinct_mismatches(self) -> int:
-        return 0
 
 
 def _base_penalty_np(q, w, params):
