@@ -121,13 +121,18 @@ def _dp_step(x, state, n, m, params_tuple, band):
 
 
 def _params_tuple(params):
-    return (
-        jnp.float32(params.mutation_penalty),
-        jnp.float32(params.ambiguity_penalty),
-        jnp.float32(params.insertion_start_penalty + params.insertion_extension_penalty),
-        jnp.float32(params.insertion_extension_penalty),
-        jnp.float32(params.deletion_start_penalty + params.deletion_extension_penalty),
-        jnp.float32(params.deletion_extension_penalty),
+    # plain host floats (np.float32-rounded): creating jnp scalars here would
+    # issue eager device ops, each paying a full tunnel round trip
+    return tuple(
+        float(np.float32(v))
+        for v in (
+            params.mutation_penalty,
+            params.ambiguity_penalty,
+            params.insertion_start_penalty + params.insertion_extension_penalty,
+            params.insertion_extension_penalty,
+            params.deletion_start_penalty + params.deletion_extension_penalty,
+            params.deletion_extension_penalty,
+        )
     )
 
 
@@ -289,6 +294,8 @@ def _pallas_kernel_roll(q_ref, w_ref, n_ref, m_ref, p_ref, out_ref, *, band: int
 
 @functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
 def _banded_scores_pallas_roll(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+    q_codes = q_codes.astype(jnp.int32)
+    w_codes = w_codes.astype(jnp.int32)
     b = q_codes.shape[0]
     lq = q_codes.shape[1]
     lw = w_codes.shape[1]
@@ -416,8 +423,9 @@ def _pen_kernel(pen_ref, n_ref, m_ref, p_ref, out_ref, best_ref, insx_ref, res_r
         out_ref[:] = res_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
-def _banded_scores_pallas_pen(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+def _pen_core(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+    """Shared body of the pen-variant entries: int32 device codes in,
+    (scores [B], diag_sums [B, BAND]) out."""
     b = q_codes.shape[0]
     lq = q_codes.shape[1]
     # penalty tensor [LQ, B, BAND] built with a bounded scan (a naive window
@@ -460,6 +468,112 @@ def _banded_scores_pallas_pen(q_codes, w_codes, n, m, params_vec, band, tile, in
     return out[:, 0], diag_sums
 
 
+@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
+def _banded_scores_pallas_pen(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+    # accept uint8 codes: converting on-device inside this jit keeps the wire
+    # transfer small and avoids eager dispatches (each one pays the remote
+    # tunnel's round trip)
+    return _pen_core(
+        q_codes.astype(jnp.int32), w_codes.astype(jnp.int32), n, m, params_vec,
+        band, tile, interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
+def _pen_scores_gathered(
+    reads_u8, concat_u8, read_id, reversed_, win_start, lane, n, m, params_vec,
+    band, tile, interpret,
+):
+    """Fused candidate scoring against a device-resident reference.
+
+    reads_u8 [R, LQ] uint8 (0-padded rows, forward orientation only);
+    concat_u8 [N] uint8: the concatenated reference codes, uploaded once;
+    read_id/reversed_/win_start/lane/n/m: per-candidate int32/bool arrays.
+
+    Everything the host used to precompute per candidate — RC'd query codes,
+    gathered reference windows, the voted diagonal's ungapped penalty — is
+    computed on-device, so one call moves only the read matrix plus O(B)
+    index vectors over the (slow, high-jitter) TPU tunnel and returns two
+    [B] float32 vectors."""
+    lq = reads_u8.shape[1]
+    b = read_id.shape[0]
+    q_fwd = reads_u8[read_id].astype(jnp.int32)  # [B, LQ]
+    # reverse complement on device: complement = nibble bit-reversal
+    # (basepairs.COMPLEMENT_TABLE), order reversed over the first n chars
+    comp = (
+        ((q_fwd & 1) << 3) | ((q_fwd & 2) << 1) | ((q_fwd & 4) >> 1) | ((q_fwd & 8) >> 3)
+    )
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, lq), 1)
+    rc_idx = jnp.clip(n - 1 - pos, 0, lq - 1)
+    rc = jnp.take_along_axis(comp, rc_idx, axis=1)
+    rc = jnp.where(pos < n, rc, 0)
+    q_codes = jnp.where(reversed_[:, None], rc, q_fwd)
+
+    w_idx = win_start[:, None] + jnp.arange(lq + band, dtype=win_start.dtype)[None, :]
+    w_idx = jnp.minimum(w_idx, concat_u8.shape[0] - 1)
+    w_codes = concat_u8[w_idx].astype(jnp.int32)
+
+    scores, diag_sums = _pen_core(
+        q_codes, w_codes, n, m, params_vec, band, tile, interpret
+    )
+    ungapped = diag_sums[jnp.arange(b), jnp.clip(lane, 0, band - 1)]
+    return scores, ungapped
+
+
+def banded_scores_gathered(
+    reads_u8,
+    concat_dev,
+    read_id,
+    reversed_,
+    win_start,
+    lane,
+    n,
+    m,
+    params,
+    band: int,
+    tile: int = 1024,
+    interpret: bool = False,
+    read_bucket: int = 256,
+):
+    """Host wrapper for _pen_scores_gathered: pads the candidate count to a
+    tile multiple and the read count to `read_bucket` (stable compile-size
+    buckets), builds the params vector, returns numpy-convertible device
+    futures (banded [B], ungapped-at-lane [B]).  `concat_dev` must be a
+    device-resident uint8 array (jax.device_put once per index)."""
+    reads_u8 = np.asarray(reads_u8, dtype=np.uint8)
+    r, lq = reads_u8.shape
+    padded_r = -(-r // read_bucket) * read_bucket
+    if padded_r != r:
+        reads_host = np.zeros((padded_r, lq), dtype=np.uint8)
+        reads_host[:r] = reads_u8
+    else:
+        reads_host = reads_u8
+    b = int(np.asarray(read_id).shape[0])
+    padded_b = -(-b // tile) * tile
+
+    def pad1(a, dtype, fill):
+        out = np.full(padded_b, fill, dtype=dtype)
+        out[:b] = np.asarray(a)
+        return out
+
+    # int32 window indices: callers must fall back to the host-window path
+    # for references beyond 2^31 bases (JAX x64 is off; int64 would truncate)
+    if int(concat_dev.shape[0]) + lq + band > 2**31 - 1:
+        raise ValueError("reference too large for int32 device gather")
+    read_id_p = pad1(read_id, np.int32, 0)
+    reversed_p = pad1(reversed_, bool, False)
+    win_start_p = pad1(win_start, np.int32, 0)
+    lane_p = pad1(lane, np.int32, 0)
+    n_p = pad1(n, np.int32, 1).reshape(-1, 1)
+    m_p = pad1(m, np.int32, 1).reshape(-1, 1)
+    params_vec = np.array([[float(v) for v in _params_tuple(params)]], dtype=np.float32)
+    scores, ungapped = _pen_scores_gathered(
+        reads_host, concat_dev, read_id_p, reversed_p, win_start_p, lane_p,
+        n_p, m_p, params_vec, band, tile, interpret,
+    )
+    return scores[:b], ungapped[:b]
+
+
 def banded_scores(
     q_codes,
     w_codes,
@@ -478,36 +592,42 @@ def banded_scores(
 
     q_codes [B, LQ] uint8 (0-padded), w_codes [B, LW] uint8, n/m [B] actual
     lengths.  B is padded up to a multiple of `tile`.  Uses the Pallas kernel
-    on TPU and the jnp path elsewhere unless overridden."""
+    on TPU and the jnp path elsewhere unless overridden.
+
+    All padding/layout happens host-side in numpy and the codes cross the wire
+    as uint8: on a tunneled TPU every eager device op costs a round trip, so
+    the device sees exactly one fused jitted program per call."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    q_codes = jnp.asarray(q_codes, jnp.int32)
-    w_codes = _pad_window(q_codes, jnp.asarray(w_codes, jnp.int32), band)
-    b = q_codes.shape[0]
-    n = jnp.asarray(n, jnp.int32).reshape(-1, 1)
-    m = jnp.asarray(m, jnp.int32).reshape(-1, 1)
     if not use_pallas:
-        return _banded_scores_jnp(q_codes, w_codes, n, m, _params_tuple(params), band)
+        q_dev = jnp.asarray(np.asarray(q_codes), jnp.int32)
+        w_dev = _pad_window(q_dev, jnp.asarray(np.asarray(w_codes), jnp.int32), band)
+        n_dev = jnp.asarray(np.asarray(n), jnp.int32).reshape(-1, 1)
+        m_dev = jnp.asarray(np.asarray(m), jnp.int32).reshape(-1, 1)
+        return _banded_scores_jnp(q_dev, w_dev, n_dev, m_dev, _params_tuple(params), band)
 
-    # pad query length to a chunk multiple and build the halo'd per-chunk
-    # window array [B, num_chunks, chunk+band] the grid pipeline consumes
-    lq_padded = -(-q_codes.shape[1] // chunk) * chunk
-    if lq_padded != q_codes.shape[1]:
-        q_codes = jnp.pad(q_codes, ((0, 0), (0, lq_padded - q_codes.shape[1])))
-    if w_codes.shape[1] < lq_padded + band:
-        w_codes = jnp.pad(
-            w_codes, ((0, 0), (0, lq_padded + band - w_codes.shape[1]))
-        )
-
+    q_np = np.asarray(q_codes, dtype=np.uint8)
+    w_np = np.asarray(w_codes, dtype=np.uint8)
+    b, lq = q_np.shape
+    # pad query length to a chunk multiple and the window to lq + band so the
+    # kernels' static slices never clamp
+    lq_padded = -(-lq // chunk) * chunk
     padded_b = -(-b // tile) * tile
-    if padded_b != b:
-        pad = padded_b - b
-        q_codes = jnp.pad(q_codes, ((0, pad), (0, 0)))
-        w_codes = jnp.pad(w_codes, ((0, pad), (0, 0)))
-        n = jnp.pad(n, ((0, pad), (0, 0)), constant_values=1)
-        m = jnp.pad(m, ((0, pad), (0, 0)), constant_values=1)
+    q_host = np.zeros((padded_b, lq_padded), dtype=np.uint8)
+    q_host[:b, :lq] = q_np
+    w_host = np.zeros((padded_b, lq_padded + band), dtype=np.uint8)
+    w_host[:b, : min(w_np.shape[1], lq_padded + band)] = w_np[
+        :, : lq_padded + band
+    ]
+    n_host = np.ones((padded_b, 1), dtype=np.int32)
+    n_host[:b, 0] = np.asarray(n).reshape(-1)
+    m_host = np.ones((padded_b, 1), dtype=np.int32)
+    m_host[:b, 0] = np.asarray(m).reshape(-1)
+    q_codes, w_codes, n, m = q_host, w_host, n_host, m_host
 
-    params_vec = jnp.array([_params_tuple(params)], dtype=jnp.float32)
+    params_vec = np.array(
+        [[float(v) for v in _params_tuple(params)]], dtype=np.float32
+    )
     if variant == "pen":
         scores, diag_sums = _banded_scores_pallas_pen(
             q_codes, w_codes, n, m, params_vec, band, tile, interpret

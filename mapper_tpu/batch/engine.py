@@ -717,8 +717,48 @@ class BatchAligner:
         lq = -(-int(batch.lengths.max()) // 64) * 64
         lw = lq + band
         num_cands = len(table)
+        in_contig = (table.offset >= 0) & (table.offset + n_per_cand <= contig_len)
+        win_start_global = seq_starts[table.ref_seq_index] + win_start_local
+        w_len = (win_end_local - win_start_local).astype(np.int64)
+        lane = (table.offset - win_start_local).astype(np.int64)
 
-        # query codes per candidate (RC codes for reverse-strand candidates)
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and self.concat.shape[0] + lw < 2**31 - 1:
+            # fused gathered scoring: the reference lives on the device; only
+            # the forward read matrix + O(candidates) index vectors cross the
+            # (slow, high-jitter) tunnel, and two [B] vectors come back
+            q_mat = np.zeros((num_reads, lq), dtype=np.uint8)
+            for r, seq in enumerate(seqs):
+                q_mat[r, : len(seq)] = seq.codes
+            banded_dev, ung_dev = pallas_dp.banded_scores_gathered(
+                q_mat,
+                self._concat_device(),
+                table.read_id,
+                table.reversed_,
+                win_start_global,
+                lane,
+                n_per_cand,
+                w_len,
+                p,
+                band=band,
+                tile=self.tile,
+            )
+            return {
+                "banded_dev": banded_dev,
+                "ung_dev": ung_dev,
+                "host_ungapped": None,
+                "lane": lane,
+                "in_contig": in_contig,
+                "valid": valid,
+                "at_edge": at_edge,
+                "n_per_cand": n_per_cand,
+                "num_cands": num_cands,
+                "band": band,
+            }
+
+        # host-window path (CPU backends; oversized references)
         q_mat = np.zeros((num_reads, lq), dtype=np.uint8)
         rc_mat = np.zeros((num_reads, lq), dtype=np.uint8)
         for r, seq in enumerate(seqs):
@@ -727,36 +767,22 @@ class BatchAligner:
         q_codes = np.where(
             table.reversed_[:, None], rc_mat[table.read_id], q_mat[table.read_id]
         )
-
-        # window codes gathered from the concatenated reference
-        win_start_global = seq_starts[table.ref_seq_index] + win_start_local
         w_idx = win_start_global[:, None] + np.arange(lw, dtype=np.int64)[None, :]
-        w_len = (win_end_local - win_start_local).astype(np.int64)
         w_idx = np.minimum(w_idx, self.concat.shape[0] - 1)
         w_codes = self.concat[w_idx]
 
-        import jax
-
-        in_contig = (table.offset >= 0) & (table.offset + n_per_cand <= contig_len)
-        use_device_diag = jax.default_backend() == "tpu"
-        if use_device_diag:
-            # async dispatch: jnp results are futures until np.asarray in finish
+        if on_tpu:
             banded_dev, diag_dev = pallas_dp.banded_scores(
-                q_codes,
-                w_codes,
-                n_per_cand,
-                w_len,
-                p,
-                band=band,
-                tile=self.tile,
-                return_diag_sums=True,
+                q_codes, w_codes, n_per_cand, w_len, p,
+                band=band, tile=self.tile, return_diag_sums=True,
             )
+            ung_dev = diag_dev[np.arange(num_cands), np.clip(lane, 0, band - 1)]
             host_ungapped = None
         else:
             banded_dev = pallas_dp.banded_scores(
                 q_codes, w_codes, n_per_cand, w_len, p, band=band, tile=self.tile
             )
-            diag_dev = None
+            ung_dev = None
             diag_start = seq_starts[table.ref_seq_index] + np.clip(table.offset, 0, None)
             d_idx = diag_start[:, None] + np.arange(lq, dtype=np.int64)[None, :]
             d_idx = np.minimum(d_idx, self.concat.shape[0] - 1)
@@ -766,36 +792,37 @@ class BatchAligner:
             host_ungapped = np.where(x_valid, pen, 0.0).sum(axis=1)
             host_ungapped = np.where(in_contig, host_ungapped, np.inf)
         return {
-            "table": table,
             "banded_dev": banded_dev,
-            "diag_dev": diag_dev,
+            "ung_dev": ung_dev,
             "host_ungapped": host_ungapped,
+            "lane": lane,
             "in_contig": in_contig,
             "valid": valid,
             "at_edge": at_edge,
             "n_per_cand": n_per_cand,
-            "win_start_local": win_start_local,
             "num_cands": num_cands,
             "band": band,
         }
 
+    def _concat_device(self):
+        """The concatenated reference codes, uploaded to the device once."""
+        if getattr(self, "_concat_dev", None) is None:
+            import jax
+
+            self._concat_dev = jax.device_put(self.concat)
+        return self._concat_dev
+
     def _finish_scores(self, sctx):
         """Materialize the device scores of a _dispatch_scores context:
         (ungapped, banded) float64 arrays per candidate row."""
-        table = sctx["table"]
         band = sctx["band"]
-        num_cands = sctx["num_cands"]
         banded = np.asarray(sctx["banded_dev"], dtype=np.float64)
-        if sctx["diag_dev"] is not None:
-            diag_sums = np.asarray(sctx["diag_dev"], dtype=np.float64)
+        if sctx["ung_dev"] is not None:
+            ung = np.asarray(sctx["ung_dev"], dtype=np.float64)
+            lane = sctx["lane"]
             # the voted offset's diagonal is band lane (offset - window start)
-            lane = (table.offset - sctx["win_start_local"]).astype(np.int64)
             lane_valid = (lane >= 0) & (lane < band)
-            ungapped = np.where(
-                sctx["in_contig"] & lane_valid,
-                diag_sums[np.arange(num_cands), np.clip(lane, 0, band - 1)],
-                np.inf,
-            )
+            ungapped = np.where(sctx["in_contig"] & lane_valid, ung, np.inf)
         else:
             ungapped = sctx["host_ungapped"]
         return ungapped, banded

@@ -113,3 +113,51 @@ def test_snp_scores_mutation_penalty():
     )
     # one SNP -> penalty 1.0 (unless the random SNP hit the same base)
     assert scores[0] in (pytest.approx(0.0), pytest.approx(1.0))
+
+
+def test_gathered_scoring_matches_host_windows():
+    """banded_scores_gathered (device-resident reference, on-device RC +
+    window gather + lane pick) must equal the host-window pen path."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    params = AlignmentParameters.defaults()
+    band, lq, shift = 32, 64, 12
+    concat = np.array([1, 2, 4, 8], dtype=np.uint8)[rng.integers(0, 4, size=4000)]
+    num_reads, num_cands = 24, 40
+    reads = np.zeros((num_reads, lq), dtype=np.uint8)
+    n_read = rng.integers(lq // 2, lq + 1, size=num_reads)
+    for r in range(num_reads):
+        start = int(rng.integers(0, concat.shape[0] - lq))
+        reads[r, : n_read[r]] = concat[start : start + int(n_read[r])]
+    read_id = rng.integers(0, num_reads, size=num_cands).astype(np.int32)
+    reversed_ = rng.random(num_cands) < 0.5
+    n = n_read[read_id].astype(np.int64)
+    win_start = rng.integers(0, concat.shape[0] - lq - band, size=num_cands).astype(np.int64)
+    w_len = np.minimum(n + 2 * shift, concat.shape[0] - win_start).astype(np.int64)
+    lane = rng.integers(0, band, size=num_cands).astype(np.int64)
+
+    # host-window reference computation
+    q_codes = np.zeros((num_cands, lq), dtype=np.uint8)
+    for c in range(num_cands):
+        codes = reads[read_id[c], : n[c]]
+        if reversed_[c]:
+            codes = basepairs.reverse_complement(codes)
+        q_codes[c, : n[c]] = codes
+    w_idx = win_start[:, None] + np.arange(lq + band, dtype=np.int64)[None, :]
+    w_idx = np.minimum(w_idx, concat.shape[0] - 1)
+    w_codes = concat[w_idx]
+    banded_ref, diag_ref = pallas_dp.banded_scores(
+        q_codes, w_codes, n, w_len, params, band=band, tile=8,
+        use_pallas=True, interpret=True, return_diag_sums=True,
+    )
+    banded_ref = np.asarray(banded_ref)
+    ung_ref = np.asarray(diag_ref)[np.arange(num_cands), np.clip(lane, 0, band - 1)]
+
+    concat_dev = jax.device_put(concat)
+    banded_got, ung_got = pallas_dp.banded_scores_gathered(
+        reads, concat_dev, read_id, reversed_, win_start, lane, n, w_len,
+        params, band=band, tile=8, interpret=True, read_bucket=8,
+    )
+    np.testing.assert_array_equal(np.asarray(banded_got), banded_ref)
+    np.testing.assert_array_equal(np.asarray(ung_got), ung_ref)
