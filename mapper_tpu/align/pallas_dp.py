@@ -423,7 +423,85 @@ def _pen_kernel(pen_ref, n_ref, m_ref, p_ref, out_ref, best_ref, insx_ref, res_r
         out_ref[:] = res_ref[:]
 
 
-def _pen_core(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
+def _pen_kernel_x(
+    pen_ref, n_ref, m_ref, p_ref, out_ref, best_ref, insx_ref, res_ref,
+    *, band: int, lq: int, xchunk: int,
+):
+    """The pen kernel with `xchunk` query positions per grid step: the DP
+    update is unrolled over the chunk so the (substantial) per-grid-step
+    pipeline overhead is amortized.  pen block [XCHUNK, TILE, BAND]."""
+    c = pl.program_id(1)
+    tile = best_ref.shape[0]
+    n = n_ref[:]
+    m = m_ref[:]
+    _mut, _amb, ins_open, ins_ext, del_open, del_ext = tuple(
+        p_ref[0, i] for i in range(6)
+    )
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        best_ref[:] = jnp.where(k_range <= m, 0.0, BIG).astype(jnp.float32)
+        insx_ref[:] = jnp.full((tile, band), BIG, jnp.float32)
+        res_ref[:] = jnp.full((tile, 1), BIG, jnp.float32)
+
+    best = best_ref[:]
+    ins_x = insx_ref[:]
+    result = res_ref[:][:, 0]
+    for j in range(xchunk):
+        x = c * xchunk + j
+        pen = pen_ref[j]
+        w_valid = (x + k_range) < m
+        active = x < n
+        diag_new = jnp.where(w_valid & active, best + pen, BIG)
+
+        ins_candidates = jnp.minimum(ins_x + ins_ext, best + ins_open)
+        ins_shifted = jnp.concatenate(
+            [ins_candidates[:, 1:], jnp.full((tile, 1), BIG, jnp.float32)], axis=1
+        )
+        ins_new = jnp.where(active, ins_shifted, BIG)
+
+        best_after = jnp.minimum(diag_new, ins_new)
+
+        # deletion chain: min-plus Kogge-Stone scan (identical float math to
+        # the jnp oracle — the formulations must stay bit-for-bit equal)
+        shifted = jnp.concatenate(
+            [jnp.full((tile, 1), BIG, jnp.float32), best_after[:, :-1]], axis=1
+        )
+        chain = shifted + del_open
+        step = 1
+        while step < band:
+            moved = jnp.concatenate(
+                [jnp.full((tile, step), BIG, jnp.float32), chain[:, :-step]], axis=1
+            )
+            chain = jnp.minimum(chain, moved + step * del_ext)
+            step *= 2
+        chain = jnp.where(w_valid & active, chain, BIG)
+
+        best_new = jnp.minimum(best_after, chain)
+        best = jnp.where(active, best_new, best)
+        ins_x = jnp.where(active, ins_new, ins_x)
+
+        finished = (x + 1) == n
+        tail_valid = ((x + 1) + k_range) <= m
+        finals = jnp.where(tail_valid, best, BIG)
+        captured = jnp.min(finals, axis=1)
+        result = jnp.where(finished[:, 0], captured, result)
+
+    best_ref[:] = best
+    insx_ref[:] = ins_x
+    res_ref[:] = result.reshape(tile, 1)
+
+    @pl.when(c == (lq // xchunk) - 1)
+    def _finish():
+        out_ref[:] = res_ref[:]
+
+
+def _pen_core(q_codes, w_codes, n, m, params_vec, band, tile, interpret, xchunk=1):
+    # xchunk > 1 amortizes grid-step overhead but was measured a wash on real
+    # hardware (device/tunnel variance dominates) and Mosaic stack-allocates
+    # the unrolled intermediates (~6 [tile,band] temps per step), so the
+    # default stays 1; the knob remains for future tuning
     """Shared body of the pen-variant entries: int32 device codes in,
     (scores [B], diag_sums [B, BAND]) out."""
     b = q_codes.shape[0]
@@ -445,18 +523,24 @@ def _pen_core(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
         pen_step, jnp.zeros((b, band), jnp.float32), jnp.arange(lq)
     )  # diag_sums [B, BAND]: ungapped penalty per window diagonal
 
-    grid = (b // tile, lq)
-    kernel = functools.partial(_pen_kernel, band=band, lq=lq)
+    # xchunk query positions per grid step (VMEM-bounded): the per-grid-step
+    # pipeline overhead dominates a one-x-per-step grid
+    while xchunk > 1 and (lq % xchunk != 0 or xchunk * tile * band * 4 > 2 * 2**20):
+        xchunk //= 2
+    grid = (b // tile, lq // xchunk)
+    kernel = functools.partial(_pen_kernel_x, band=band, lq=lq, xchunk=xchunk)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile, band), lambda i, x: (x, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i, x: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i, x: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6), lambda i, x: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (xchunk, tile, band), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 1), lambda i, x: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tile, band), jnp.float32),

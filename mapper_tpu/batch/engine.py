@@ -458,24 +458,31 @@ class BatchAligner:
         return results
 
     def _emitted_pair_penalties(self, components, table, combos, emit):
-        """Exact float64 ungapped penalties of the emitted combos' mates,
-        computed in batched passes grouped by read length (the per-length
-        grouping keeps numpy's pairwise summation order identical to the
-        per-block np.sum in blocks.block_penalty)."""
+        """Exact float64 ungapped penalties of the emitted combos' mates."""
         rows = np.concatenate([combos["row0"][emit], combos["row1"][emit]])
+        pens = self._ungapped_penalties(components, table, rows)
+        half = rows.shape[0] // 2
+        return pens[:half], pens[half:]
+
+    def _ungapped_penalties(self, seqs, table, rows):
+        """Exact float64 full-length ungapped penalties at the voted offsets
+        for the given candidate table rows, computed in batched passes grouped
+        by read length (the per-length grouping keeps numpy's pairwise
+        summation order identical to the per-block np.sum in
+        blocks.block_penalty).  Rows must be in-contig."""
         k = rows.shape[0]
         pens = np.zeros(k, dtype=np.float64)
         if k == 0:
-            return pens[:0], pens[:0]
+            return pens
         read_id = table.read_id[rows]
-        lengths = np.array([len(c) for c in components], dtype=np.int64)[read_id]
+        lengths = np.array([len(c) for c in seqs], dtype=np.int64)[read_id]
         seq_starts = self.seq_db.starts
         diag_start = seq_starts[table.ref_seq_index[rows]] + table.offset[rows]
         for n in np.unique(lengths).tolist():
             sel = np.nonzero(lengths == n)[0]
             q = np.zeros((sel.shape[0], n), dtype=np.uint8)
             for out_i, r in enumerate(rows[sel].tolist()):
-                seq = components[int(table.read_id[r])]
+                seq = seqs[int(table.read_id[r])]
                 codes = seq.codes
                 if table.reversed_[r]:
                     codes = basepairs.reverse_complement(codes)
@@ -485,8 +492,7 @@ class BatchAligner:
             pens[sel] = np.sum(
                 self.parameters.base_penalty(q, ref_diag).astype(np.float64), axis=1
             )
-        half = k // 2
-        return pens[:half], pens[half:]
+        return pens
 
     def _make_ungapped_pair(
         self,
@@ -877,21 +883,39 @@ class BatchAligner:
 
         results: list[QueryAlignments | None] = [None] * num_reads
         emit_sorted = emit[order]
-        for r in np.nonzero(nonempty & ~bad_reads & (emit_counts > 0))[0].tolist():
+        eligible = nonempty & ~bad_reads & (emit_counts > 0)
+        # batched exact float64 penalties for every emitted row of eligible
+        # reads (one vectorized pass instead of per-read block sums)
+        rows_flat = order[emit_sorted & eligible[read_sorted]]
+        reads = [q.get_sequence(0) for q in queries]
+        pens_flat = self._ungapped_penalties(reads, table, rows_flat)
+        rid_flat = table.read_id[rows_flat]
+        ebounds = np.searchsorted(rid_flat, np.arange(num_reads + 1))
+
+        for r in np.nonzero(eligible)[0].tolist():
             query = queries[r]
             if emit_counts[r] > p.max_num_matches:
                 results[r] = QueryAlignments.unaligned(query.get_sequences())
                 continue
-            rows = order[starts[r] : ends[r]]
-            rows = rows[emit_sorted[starts[r] : ends[r]]]
+            seq = reads[r]
+            max_allowed_r = np.nextafter(len(seq) * p.max_error_rate, np.inf)
             choices = []
             ok = True
-            for c in rows.tolist():
-                choice = self._make_ungapped_alignment(query, table, c)
-                if choice is None:
+            for c in range(int(ebounds[r]), int(ebounds[r + 1])):
+                row = int(rows_flat[c])
+                pen = float(pens_flat[c])
+                # float64 recheck of the device-float32 accept
+                if pen > max_allowed_r:
                     ok = False
                     break
-                choices.append(choice)
+                seq_a = seq.reverse_complement() if table.reversed_[row] else seq
+                alignment = self._make_ungapped_component(
+                    seq_a, int(table.ref_seq_index[row]), int(table.offset[row]), pen
+                )
+                if alignment is None:
+                    ok = False
+                    break
+                choices.append(QueryAlignment(alignment))
             if not ok:
                 continue
             # dedup identical choices (different vote buckets, same placement)
@@ -905,37 +929,6 @@ class BatchAligner:
             results[r] = QueryAlignments.single_component(query.get_sequences(), unique)
         mark("decisions+emit")
         return results
-
-    def _make_ungapped_alignment(
-        self, query: Query, table: CandidateTable, c: int
-    ) -> QueryAlignment | None:
-        seq = query.get_sequence(0)
-        ref = self.seq_db.get_sequence(int(table.ref_seq_index[c]))
-        offset = int(table.offset[c])
-        if table.reversed_[c]:
-            seq_a = seq.reverse_complement()
-        else:
-            seq_a = seq
-        if offset < 0 or offset + len(seq_a) > len(ref):
-            return None
-        # under ancestry inference the index holds ancestral sequences: report
-        # coordinates on the original contig while keeping the ancestral codes
-        # as the penalty base (AlignerWorker.updateSequenceB semantics)
-        original = self.reference_index.get_original_sequence(ref)
-        if original is not ref:
-            block = AlignedBlock(
-                seq_a, original, 0, offset, len(seq_a), len(seq_a),
-                sequence_b_history=ref,
-            )
-        else:
-            block = AlignedBlock(seq_a, ref, 0, offset, len(seq_a), len(seq_a))
-        alignment = new_sequence_alignment(
-            [block], bool(table.reversed_[c]), self.parameters
-        )
-        max_allowed = np.nextafter(len(seq_a) * self.parameters.max_error_rate, np.inf)
-        if alignment.get_penalty() > max_allowed:
-            return None
-        return QueryAlignment(alignment)
 
 
 def _base_penalty_np(q, w, params):
