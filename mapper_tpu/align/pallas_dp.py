@@ -351,78 +351,6 @@ def _banded_scores_pallas(q_codes, w_chunks, n, m, params_vec, band, tile, inter
     return out[:, 0]
 
 
-def _pen_kernel(pen_ref, n_ref, m_ref, p_ref, out_ref, best_ref, insx_ref, res_ref,
-                *, band: int, lq: int):
-    """The "pen" variant: per-base penalties are precomputed by XLA into a
-    [LQ, B, BAND] tensor that the grid pipeline streams in; each grid step is
-    one pure DP update on [TILE, BAND] state — no rolls, no code handling.
-
-    grid = (batch tiles, x); scratch carries the state across x."""
-    x = pl.program_id(1)
-    tile = best_ref.shape[0]
-    n = n_ref[:]
-    m = m_ref[:]
-    _mut, _amb, ins_open, ins_ext, del_open, del_ext = tuple(
-        p_ref[0, i] for i in range(6)
-    )
-
-    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
-
-    @pl.when(x == 0)
-    def _init():
-        best_ref[:] = jnp.where(k_range <= m, 0.0, BIG).astype(jnp.float32)
-        insx_ref[:] = jnp.full((tile, band), BIG, jnp.float32)
-        res_ref[:] = jnp.full((tile, 1), BIG, jnp.float32)
-
-    best = best_ref[:]
-    ins_x = insx_ref[:]
-    result = res_ref[:][:, 0]
-
-    pen = pen_ref[0]
-    w_valid = (x + k_range) < m
-    active = x < n
-    diag_new = jnp.where(w_valid & active, best + pen, BIG)
-
-    ins_candidates = jnp.minimum(ins_x + ins_ext, best + ins_open)
-    ins_shifted = jnp.concatenate(
-        [ins_candidates[:, 1:], jnp.full((tile, 1), BIG, jnp.float32)], axis=1
-    )
-    ins_new = jnp.where(active, ins_shifted, BIG)
-
-    best_after = jnp.minimum(diag_new, ins_new)
-
-    shifted = jnp.concatenate(
-        [jnp.full((tile, 1), BIG, jnp.float32), best_after[:, :-1]], axis=1
-    )
-    chain = shifted + del_open
-    step = 1
-    while step < band:
-        moved = jnp.concatenate(
-            [jnp.full((tile, step), BIG, jnp.float32), chain[:, :-step]], axis=1
-        )
-        chain = jnp.minimum(chain, moved + step * del_ext)
-        step *= 2
-    chain = jnp.where(w_valid & active, chain, BIG)
-
-    best_new = jnp.minimum(best_after, chain)
-    best_new = jnp.where(active, best_new, best)
-    ins_x_new = jnp.where(active, ins_new, ins_x)
-
-    finished = (x + 1) == n
-    tail_valid = ((x + 1) + k_range) <= m
-    finals = jnp.where(tail_valid, best_new, BIG)
-    captured = jnp.min(finals, axis=1)
-    result = jnp.where(finished[:, 0], captured, result)
-
-    best_ref[:] = best_new
-    insx_ref[:] = ins_x_new
-    res_ref[:] = result.reshape(tile, 1)
-
-    @pl.when(x == lq - 1)
-    def _finish():
-        out_ref[:] = res_ref[:]
-
-
 def _pen_kernel_x(
     pen_ref, n_ref, m_ref, p_ref, out_ref, best_ref, insx_ref, res_ref,
     *, band: int, lq: int, xchunk: int,
