@@ -66,17 +66,69 @@ class VcfWriter:
 
     def _write_contig(self, sequence: Sequence, pileup: ContigPileup) -> None:
         p = self.parameters
-        n = len(sequence)
         middle_depth = pileup.middle.sum(axis=0)
         end_depth = pileup.end.sum(axis=0)
-        covered = np.nonzero(middle_depth + end_depth > 0)[0]
-        self.num_reference_positions_matched += int(covered.shape[0])
+        total = middle_depth + end_depth
+        covered_mask = total > 0
+        self.num_reference_positions_matched += int(np.count_nonzero(covered_mask))
 
         insertions_by_pos: dict[int, list[tuple[str, float, float, str]]] = {}
         for (pos, text), (mid_w, end_w, example) in pileup.insertions.items():
             insertions_by_pos.setdefault(pos, []).append((text, mid_w, end_w, example))
 
-        for pos in covered.tolist():
+        # --- vectorized fast path: positions whose only observed allele is
+        # the (unambiguous) reference base and that have no insertions; on
+        # covered genomes this is nearly every row ---------------------------
+        from mapper_tpu.pileup import _CODE_TO_ROW
+
+        present = (pileup.middle + pileup.end) > 0
+        n_alleles = present.sum(axis=0)
+        ref_row = _CODE_TO_ROW[sequence.codes].astype(np.int64)
+        is_acgt = np.isin(sequence.codes, (1, 2, 4, 8))
+        npos = total.shape[0]
+        ref_present = present[ref_row, np.arange(npos)]
+        has_ins = np.zeros(npos, dtype=bool)
+        if insertions_by_pos:
+            has_ins[np.fromiter(insertions_by_pos, dtype=np.int64)] = True
+        simple = (
+            covered_mask & is_acgt & (n_alleles == 1) & ref_present & ~has_ins
+        )
+
+        simple_lines: list[str] = []
+        simple_pos = np.zeros(0, dtype=np.int64)
+        if self.include_non_mutations:
+            keep = simple & (total >= p.min_snp_total_depth)
+            simple_pos = np.nonzero(keep)[0]
+            if simple_pos.shape[0]:
+                # few distinct (ref base, mid, end) combos: format each once
+                # (per-column uniques + an int key beat np.unique(axis=0)'s
+                # row-sort by ~10x at genome scale)
+                mid_u, mid_inv = np.unique(middle_depth[simple_pos], return_inverse=True)
+                end_u, end_inv = np.unique(end_depth[simple_pos], return_inverse=True)
+                key = (
+                    ref_row[simple_pos] * mid_u.shape[0] + mid_inv
+                ) * end_u.shape[0] + end_inv
+                key_u, inverse = np.unique(key, return_inverse=True)
+                supp = "\t." if self.show_support_read else ""
+                suffixes = []
+                for k in key_u.tolist():
+                    e_i = k % end_u.shape[0]
+                    rest = k // end_u.shape[0]
+                    m_i = rest % mid_u.shape[0]
+                    rc = ROW_CHARS[int(rest // mid_u.shape[0])]
+                    ms = format_number(float(mid_u[m_i]))
+                    es = format_number(float(end_u[e_i]))
+                    suffixes.append(f"\t{rc}\t{ms}\t{es}\t{rc}={ms}+{es}{supp}\n")
+                name = sequence.name
+                simple_lines = [
+                    f"{name}\t{pos}{suffixes[j]}"
+                    for pos, j in zip((simple_pos + 1).tolist(), inverse.tolist())
+                ]
+
+        # --- exact per-position path for everything else ---------------------
+        complex_pos_list: list[int] = []
+        complex_lines: list[str] = []
+        for pos in np.nonzero(covered_mask & ~simple)[0].tolist():
             ref_char = basepairs.decode_one(int(sequence.codes[pos]))
             alleles = []
             is_mutation = False
@@ -94,8 +146,7 @@ class VcfWriter:
                 alleles.append(f"ins:{text}={format_number(mid_w)}+{format_number(end_w)}")
             if not is_mutation and not self.include_non_mutations:
                 continue
-            total = middle_depth[pos] + end_depth[pos]
-            if total < p.min_snp_total_depth:
+            if total[pos] < p.min_snp_total_depth:
                 continue
             fields = [
                 sequence.name,
@@ -107,4 +158,23 @@ class VcfWriter:
             ]
             if self.show_support_read:
                 fields.append(".")
-            self.stream.write("\t".join(fields) + "\n")
+            complex_pos_list.append(pos)
+            complex_lines.append("\t".join(fields) + "\n")
+
+        # merge the two (each position-sorted) streams back into one order
+        if complex_lines:
+            complex_pos = np.array(complex_pos_list, dtype=np.int64)
+            merged: list[str | None] = [None] * (len(simple_lines) + len(complex_lines))
+            s_idx = np.arange(len(simple_lines)) + np.searchsorted(
+                complex_pos, simple_pos
+            )
+            c_idx = np.arange(len(complex_lines)) + np.searchsorted(
+                simple_pos, complex_pos
+            )
+            for i, line in zip(s_idx.tolist(), simple_lines):
+                merged[i] = line
+            for i, line in zip(c_idx.tolist(), complex_lines):
+                merged[i] = line
+            self.stream.write("".join(merged))
+        else:
+            self.stream.write("".join(simple_lines))

@@ -208,3 +208,87 @@ def test_pileup_overlapping_paired_end_weight():
     pileup = db.group_by_position()[ref]
     for i in range(12):
         assert pileup.get_count(i) == pytest.approx(1.0), f"position {i}"
+
+
+def test_vcf_vectorized_fast_path_matches_plain_loop(tmp_path):
+    """The vectorized single-ref-allele fast path must reproduce the plain
+    per-position loop byte-for-byte across SNPs, insertions, deletions,
+    ambiguous reference bases, depth filters and both non-mutation modes."""
+    import io as _io
+
+    import numpy as np
+
+    from mapper_tpu import basepairs
+    from mapper_tpu.io.mutations import MutationDetectionParameters, format_number
+    from mapper_tpu.io.vcf import VcfWriter
+    from mapper_tpu.pileup import ROW_CHARS, ContigPileup
+    from mapper_tpu.sequence import Sequence
+
+    rng = np.random.default_rng(9)
+    n = 600
+    text = "".join(rng.choice(list("ACGT"), size=n))
+    text = text[:50] + "N" + text[51:100] + "R" + text[101:]  # ambiguous refs
+    seq = Sequence.from_text("ctg", text)
+    pileup = ContigPileup.empty(seq)
+    # random coverage incl. SNP rows, deletion row, ambiguous row, weights .5
+    for _ in range(2500):
+        pos = int(rng.integers(0, n))
+        row = int(rng.choice([0, 1, 2, 3, 0, 1, 2, 3, 4, 5]))
+        target = pileup.middle if rng.random() < 0.8 else pileup.end
+        target[row, pos] += 0.5 if rng.random() < 0.3 else 1.0
+    pileup.insertions[(123, "GA")] = (2.0, 0.5, "readX")
+    pileup.insertions[(300, "T")] = (1.0, 0.0, "readY")
+
+    def plain(include_non_mutations, params, show_support):
+        middle_depth = pileup.middle.sum(axis=0)
+        end_depth = pileup.end.sum(axis=0)
+        covered = np.nonzero(middle_depth + end_depth > 0)[0]
+        ins_by_pos = {}
+        for (pos, t), (mw, ew, ex) in pileup.insertions.items():
+            ins_by_pos.setdefault(pos, []).append((t, mw, ew, ex))
+        out = []
+        for pos in covered.tolist():
+            ref_char = basepairs.decode_one(int(seq.codes[pos]))
+            alleles = []
+            is_mutation = False
+            for row in range(6):
+                mw = pileup.middle[row, pos]
+                ew = pileup.end[row, pos]
+                if mw + ew <= 0:
+                    continue
+                char = ROW_CHARS[row]
+                if char != ref_char:
+                    is_mutation = True
+                alleles.append(f"{char}={format_number(mw)}+{format_number(ew)}")
+            for t, mw, ew, _ex in ins_by_pos.get(pos, []):
+                is_mutation = True
+                alleles.append(f"ins:{t}={format_number(mw)}+{format_number(ew)}")
+            if not is_mutation and not include_non_mutations:
+                continue
+            if middle_depth[pos] + end_depth[pos] < params.min_snp_total_depth:
+                continue
+            fields = [
+                "ctg", str(pos + 1), ref_char,
+                format_number(middle_depth[pos]), format_number(end_depth[pos]),
+                ";".join(alleles),
+            ]
+            if show_support:
+                fields.append(".")
+            out.append("\t".join(fields) + "\n")
+        return "".join(out)
+
+    for include in (True, False):
+        for show_support in (True, False):
+            for params in (
+                MutationDetectionParameters.empty_filter(),
+                MutationDetectionParameters.default_filter(),
+            ):
+                buf = _io.StringIO()
+                writer = VcfWriter(buf, include, params, show_support)
+                writer.write({seq: pileup})
+                got = "".join(
+                    l for l in buf.getvalue().splitlines(keepends=True)
+                    if not l.startswith("#")
+                )
+                want = plain(include, params, show_support)
+                assert got == want, (include, show_support, params.min_snp_total_depth)
