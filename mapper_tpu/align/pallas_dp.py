@@ -491,10 +491,9 @@ def _banded_scores_pallas_pen(q_codes, w_codes, n, m, params_vec, band, tile, in
     )
 
 
-@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
-def _pen_scores_gathered(
+def _gathered_core(
     reads_u8, concat_u8, read_id, reversed_, win_start, lane, n, m, params_vec,
-    band, tile, interpret,
+    *, band, tile, interpret, use_pallas,
 ):
     """Fused candidate scoring against a device-resident reference.
 
@@ -506,7 +505,8 @@ def _pen_scores_gathered(
     gathered reference windows, the voted diagonal's ungapped penalty — is
     computed on-device, so one call moves only the read matrix plus O(B)
     index vectors over the (slow, high-jitter) TPU tunnel and returns two
-    [B] float32 vectors."""
+    [B] float32 vectors.  With use_pallas=False the same math runs on pure
+    XLA ops (any backend; also the path a CPU test mesh shards)."""
     lq = reads_u8.shape[1]
     b = read_id.shape[0]
     q_fwd = reads_u8[read_id].astype(jnp.int32)  # [B, LQ]
@@ -525,11 +525,59 @@ def _pen_scores_gathered(
     w_idx = jnp.minimum(w_idx, concat_u8.shape[0] - 1)
     w_codes = concat_u8[w_idx].astype(jnp.int32)
 
-    scores, diag_sums = _pen_core(
-        q_codes, w_codes, n, m, params_vec, band, tile, interpret
-    )
+    if use_pallas:
+        scores, diag_sums = _pen_core(
+            q_codes, w_codes, n, m, params_vec, band, tile, interpret
+        )
+    else:
+        params_tuple = tuple(params_vec[0, i] for i in range(6))
+        scores = _banded_scores_jnp(q_codes, w_codes, n, m, params_tuple, band)
+
+        def pen_step(acc, x):
+            q_char = jax.lax.dynamic_slice_in_dim(q_codes, x, 1, axis=1)
+            w_slice = jax.lax.dynamic_slice_in_dim(w_codes, x, band, axis=1)
+            pen_x = _base_penalty(q_char, w_slice, params_vec[0, 0], params_vec[0, 1])
+            return acc + jnp.where(x < n, pen_x, 0.0), None
+
+        diag_sums, _ = jax.lax.scan(
+            pen_step, jnp.zeros((b, band), jnp.float32), jnp.arange(lq)
+        )
     ungapped = diag_sums[jnp.arange(b), jnp.clip(lane, 0, band - 1)]
     return scores, ungapped
+
+
+_GATHERED_FNS: dict = {}
+
+
+def _gathered_fn(mesh, band, tile, interpret, use_pallas):
+    """The jitted (and, under a mesh, shard_mapped over the data axis)
+    gathered-scoring callable, cached per configuration."""
+    key = (mesh, band, tile, interpret, use_pallas)
+    fn = _GATHERED_FNS.get(key)
+    if fn is not None:
+        return fn
+    core = functools.partial(
+        _gathered_core, band=band, tile=tile, interpret=interpret, use_pallas=use_pallas
+    )
+    if mesh is None:
+        fn = jax.jit(core)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from mapper_tpu.parallel.mesh import _shard_map
+
+        row = P("data")
+        rep = P()
+        fn = jax.jit(
+            _shard_map(
+                core,
+                mesh=mesh,
+                in_specs=(rep, rep, row, row, row, row, P("data", None), P("data", None), rep),
+                out_specs=(row, row),
+            )
+        )
+    _GATHERED_FNS[key] = fn
+    return fn
 
 
 def banded_scores_gathered(
@@ -546,12 +594,19 @@ def banded_scores_gathered(
     tile: int = 1024,
     interpret: bool = False,
     read_bucket: int = 256,
+    mesh=None,
+    use_pallas: bool | None = None,
 ):
-    """Host wrapper for _pen_scores_gathered: pads the candidate count to a
-    tile multiple and the read count to `read_bucket` (stable compile-size
-    buckets), builds the params vector, returns numpy-convertible device
-    futures (banded [B], ungapped-at-lane [B]).  `concat_dev` must be a
-    device-resident uint8 array (jax.device_put once per index)."""
+    """Host wrapper for the gathered scorer: pads the candidate count to a
+    tile (× mesh size) multiple and the read count to `read_bucket` (stable
+    compile-size buckets), builds the params vector, returns
+    numpy-convertible device futures (banded [B], ungapped-at-lane [B]).
+    `concat_dev` must be a device-resident uint8 array (jax.device_put once
+    per index; replicated over the mesh when one is given).  With a mesh the
+    candidate rows shard over its `data` axis — scoring is embarrassingly
+    parallel, so no collectives appear."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     reads_u8 = np.asarray(reads_u8, dtype=np.uint8)
     r, lq = reads_u8.shape
     padded_r = -(-r // read_bucket) * read_bucket
@@ -561,7 +616,8 @@ def banded_scores_gathered(
     else:
         reads_host = reads_u8
     b = int(np.asarray(read_id).shape[0])
-    padded_b = -(-b // tile) * tile
+    quantum = tile * (mesh.size if mesh is not None else 1)
+    padded_b = -(-b // quantum) * quantum
 
     def pad1(a, dtype, fill):
         out = np.full(padded_b, fill, dtype=dtype)
@@ -579,9 +635,10 @@ def banded_scores_gathered(
     n_p = pad1(n, np.int32, 1).reshape(-1, 1)
     m_p = pad1(m, np.int32, 1).reshape(-1, 1)
     params_vec = np.array([[float(v) for v in _params_tuple(params)]], dtype=np.float32)
-    scores, ungapped = _pen_scores_gathered(
+    fn = _gathered_fn(mesh, band, tile, interpret, use_pallas)
+    scores, ungapped = fn(
         reads_host, concat_dev, read_id_p, reversed_p, win_start_p, lane_p,
-        n_p, m_p, params_vec, band, tile, interpret,
+        n_p, m_p, params_vec,
     )
     return scores[:b], ungapped[:b]
 

@@ -60,6 +60,7 @@ class BatchAligner:
         tile: int = 1024,
         pipeline_chunk_reads: int | None = 2048,
         paired_vectorized: bool = True,
+        mesh=None,
     ):
         self.reference_index = reference_index
         self.database = reference_index.hashblock_database
@@ -73,6 +74,9 @@ class BatchAligner:
         # device scoring (None disables the pipeline)
         self.pipeline_chunk_reads = pipeline_chunk_reads
         self.paired_vectorized = paired_vectorized
+        # a jax.sharding.Mesh with a "data" axis shards candidate scoring
+        # across its devices (reference replicated, rows data-parallel)
+        self.mesh = mesh
         self.listeners = listeners if listeners is not None else []
         self.fallback_worker = AlignerWorker(reference_index, parameters)
         self.concat = self.seq_db.concatenated_codes()
@@ -731,7 +735,7 @@ class BatchAligner:
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and self.concat.shape[0] + lw < 2**31 - 1:
+        if (on_tpu or self.mesh is not None) and self.concat.shape[0] + lw < 2**31 - 1:
             # fused gathered scoring: the reference lives on the device; only
             # the forward read matrix + O(candidates) index vectors cross the
             # (slow, high-jitter) tunnel, and two [B] vectors come back
@@ -750,6 +754,8 @@ class BatchAligner:
                 p,
                 band=band,
                 tile=self.tile,
+                mesh=self.mesh,
+                use_pallas=on_tpu,
             )
             return {
                 "banded_dev": banded_dev,
@@ -811,11 +817,19 @@ class BatchAligner:
         }
 
     def _concat_device(self):
-        """The concatenated reference codes, uploaded to the device once."""
+        """The concatenated reference codes, uploaded to the device(s) once
+        (replicated over the mesh when one is configured)."""
         if getattr(self, "_concat_dev", None) is None:
             import jax
 
-            self._concat_dev = jax.device_put(self.concat)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self._concat_dev = jax.device_put(
+                    self.concat, NamedSharding(self.mesh, PartitionSpec())
+                )
+            else:
+                self._concat_dev = jax.device_put(self.concat)
         return self._concat_dev
 
     def _finish_scores(self, sctx):

@@ -19,6 +19,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map across jax versions (jax.experimental.shard_map in older
+    releases).  The varying-manual-axes check is disabled: the scoring loops
+    initialize carries from constants, which the checker types as unvarying
+    even though the loop outputs vary over `data`."""
+    if hasattr(jax, "shard_map"):
+        sm = jax.shard_map
+    else:
+        from jax.experimental.shard_map import shard_map as sm
+    try:
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    except TypeError:
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+
+
 def make_mesh(devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
