@@ -86,16 +86,89 @@ class MatchDatabase:
         self.query_end_fraction = query_end_fraction
         self.pileups: dict[int, ContigPileup] = {}
         self._pending: list[QueryAlignments] = []
+        self._buffers: dict[int, list] = {}
+        self._fast: list = []
         self._grouped = False
 
     def add_alignments(self, results: list[QueryAlignments]) -> None:
         self._pending.extend(results)
 
     def group_by_position(self) -> dict[Sequence, ContigPileup]:
+        self._buffers: dict[int, list] = {}
+        self._fast: list = []
         for query_alignments in self._pending:
             self._accumulate(query_alignments)
         self._pending = []
+        self._flush_fast()
+        self._flush_buffers()
         return {p.sequence: p for p in self.pileups.values()}
+
+    def _flush_fast(self) -> None:
+        """Columnar accumulation of the dominant alignment shape — one
+        full-length ungapped block, no mate overlap (what the batch engine
+        emits) — grouped by (contig, strand, read length) so each group is a
+        single broadcasted scatter-add."""
+        groups: dict[tuple, list] = {}
+        for seq_alignment, weight in self._fast:
+            block = seq_alignment.sections[0]
+            ref = seq_alignment.get_sequence_b()
+            folded = ref.complemented_from is not None
+            fwd = ref.complemented_from if folded else ref
+            # weight in the key: nearly everything is weight 1.0, and a
+            # uniform weight makes the scatter-add take a scalar
+            groups.setdefault((id(fwd), folded, block.length_a, weight), []).append(
+                seq_alignment
+            )
+        self._fast = []
+        for (_, folded, length, weight), items in groups.items():
+            ref = items[0].get_sequence_b()
+            pileup = self._pileup_for(ref)
+            ref_len = len(ref)
+            n = pileup.middle.shape[1]
+            # int32 indices halve the scatter traffic; contigs past ~350 Mb
+            # (6 rows x length) need int64
+            idt = np.int32 if 6 * n < 2**31 - 1 else np.int64
+            codes = np.stack([a.get_sequence_a().codes[:length] for a in items])
+            starts = np.array([a.sections[0].start_b for a in items], dtype=idt)
+            if folded:
+                codes = basepairs.COMPLEMENT_TABLE[codes]
+            rows = _CODE_TO_ROW[codes].astype(idt)
+            positions = starts[:, None] + np.arange(length, dtype=idt)[None, :]
+            if folded:
+                positions = idt(ref_len - 1) - positions
+            # the end-of-read mask is symmetric and contiguous at both read
+            # ends: [0, lo) and [length - lo, length)
+            j = np.arange(length)
+            is_end = np.minimum(j, length - 1 - j) < self.query_end_fraction * length
+            lo = int(np.argmin(is_end)) if not is_end.all() else length
+            flat = rows * idt(n) + positions
+            middle_flat = pileup.middle.reshape(-1)
+            np.add.at(middle_flat, flat[:, lo : length - lo].reshape(-1), weight)
+            if lo:
+                end_flat = pileup.end.reshape(-1)
+                np.add.at(end_flat, flat[:, :lo].reshape(-1), weight)
+                np.add.at(end_flat, flat[:, length - lo :].reshape(-1), weight)
+
+    def _flush_buffers(self) -> None:
+        """One scatter-add per accumulator array instead of one per block:
+        the buffered triplets are concatenated in visit order, so the float
+        addition order (and thus every bit of the result) matches the
+        per-block scatters exactly."""
+        for key, buf in self._buffers.items():
+            pileup = self.pileups[key]
+            n = pileup.middle.shape[1]
+            for target, triplets in ((pileup.middle, buf[0]), (pileup.end, buf[1])):
+                if not triplets:
+                    continue
+                rows = np.concatenate([t[0] for t in triplets])
+                positions = np.concatenate([t[1] for t in triplets])
+                weights = np.concatenate([t[2] for t in triplets])
+                np.add.at(
+                    target.reshape(-1), rows.astype(np.int64) * n + positions, weights
+                )
+            for position, w in buf[2]:
+                pileup.deletion_start_middle[position] += w
+        self._buffers = {}
 
     # --- accumulation -----------------------------------------------------
 
@@ -107,6 +180,13 @@ class MatchDatabase:
         if key not in self.pileups:
             self.pileups[key] = ContigPileup.empty(sequence)
         return self.pileups[key]
+
+    def _buffer_for(self, key: int) -> list:
+        buf = self._buffers.get(key)
+        if buf is None:
+            buf = [[], [], []]  # middle triplets, end triplets, deletion starts
+            self._buffers[key] = buf
+        return buf
 
     def _accumulate(self, query_alignments: QueryAlignments) -> None:
         for component_alignments in query_alignments.get_alignments():
@@ -129,12 +209,25 @@ class MatchDatabase:
                 if lo < hi:
                     overlap_range = (lo, hi)
         for seq_alignment in components:
-            self._accumulate_sequence(seq_alignment, weight, overlap_range)
+            sections = seq_alignment.sections
+            if (
+                overlap_range is None
+                and len(sections) == 1
+                and sections[0].length_a == sections[0].length_b
+                and sections[0].start_a == 0
+                and sections[0].length_a == len(seq_alignment.get_sequence_a())
+            ):
+                self._fast.append((seq_alignment, weight))
+            else:
+                self._accumulate_sequence(seq_alignment, weight, overlap_range)
 
     def _accumulate_sequence(self, alignment, weight: float, overlap_range) -> None:
         query = alignment.get_sequence_a()
         ref = alignment.get_sequence_b()
         pileup = self._pileup_for(ref)
+        buf = self._buffer_for(
+            id(ref.complemented_from if ref.complemented_from is not None else ref)
+        )
         folded = ref.complemented_from is not None
         ref_len = len(ref)
         query_len = len(query)
@@ -165,8 +258,8 @@ class MatchDatabase:
                 if overlap_range is not None:
                     in_overlap = (r_idx >= overlap_range[0]) & (r_idx < overlap_range[1])
                     w = np.where(in_overlap, weight * 0.5, w)
-                np.add.at(pileup.middle, (rows[~is_end], positions[~is_end]), w[~is_end])
-                np.add.at(pileup.end, (rows[is_end], positions[is_end]), w[is_end])
+                buf[0].append((rows[~is_end], positions[~is_end], w[~is_end]))
+                buf[1].append((rows[is_end], positions[is_end], w[is_end]))
             elif block.length_b > 0:
                 # deletion: weight per deleted reference position
                 r_idx = np.arange(block.start_b, block.end_b)
@@ -178,12 +271,12 @@ class MatchDatabase:
                 if overlap_range is not None:
                     in_overlap = (r_idx >= overlap_range[0]) & (r_idx < overlap_range[1])
                     w = np.where(in_overlap, weight * 0.5, w)
-                target = pileup.end if is_end else pileup.middle
-                np.add.at(target, (np.full(len(r_idx), ROW_DEL), positions), w)
+                buf[1 if is_end else 0].append(
+                    (np.full(len(r_idx), ROW_DEL), positions, w)
+                )
                 if not is_end:
                     # mark the deletion start (leftmost folded coordinate)
-                    start_position = int(positions.min())
-                    pileup.deletion_start_middle[start_position] += w[0]
+                    buf[2].append((int(positions.min()), w[0]))
             elif block.length_a > 0:
                 # insertion: record at the forward position it precedes
                 inserted = fold_codes(query.codes[block.start_a : block.end_a])
