@@ -92,7 +92,13 @@ class DuplicationDetector:
         """Readable_DuplicationDetector.mayContainDuplicationInRange
         (java:28-47)."""
         self.ensure_detected()
-        seq_idx = self.sequence_database.index_of(sequence)
+        # unknown sequences find nothing, exactly like the reference's
+        # HashMap.get returning null (Readable_DuplicationDetector.java:20-33)
+        # — under --infer-ancestors the worker probes with the ORIGINAL contig
+        # while this detector indexes the ancestral database's sequences
+        seq_idx = self.sequence_database.index_of_or_none(sequence)
+        if seq_idx is None:
+            return None
         starts = self._starts_by_sequence.get(seq_idx)
         if not starts:
             return None
@@ -114,7 +120,9 @@ class DuplicationDetector:
 
     def get_interesting_duplications_on_sequence(self, sequence: Sequence):
         self.ensure_detected()
-        seq_idx = self.sequence_database.index_of(sequence)
+        seq_idx = self.sequence_database.index_of_or_none(sequence)
+        if seq_idx is None:
+            return []
         return self._by_sequence.get(seq_idx, [])
 
     def get_all(self) -> list[Duplication]:

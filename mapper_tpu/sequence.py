@@ -241,6 +241,11 @@ class SequenceDatabase:
     def index_of(self, sequence: Sequence) -> int:
         return self._index_by_id[id(sequence)]
 
+    def index_of_or_none(self, sequence: Sequence) -> int | None:
+        """Like index_of but None for sequences this database doesn't hold
+        (the reference's HashMap.get-returning-null contract)."""
+        return self._index_by_id.get(id(sequence))
+
     def get_total_forward_size(self) -> int:
         return sum(len(s) for s in self.get_forward_sequences_only())
 

@@ -88,3 +88,38 @@ def test_break_similar_section():
     union = "AGCGGTGGAACGGCGGAGCGTCGTCAAACCCGGGTTCTCAGTCR"
     mutated_in_middle = ref1 + ref1 + ref2 + ref1 + suffix
     assert infer(mutated_in_middle) == ref1 + ref1 + union + ref1 + suffix
+
+
+def test_infer_ancestors_cli_with_duplication_probe(tmp_path):
+    """Regression: under --infer-ancestors the worker's duplication-window
+    proof probes the approximate detector (built over the ancestral database)
+    with the ORIGINAL contig; unknown sequences must silently find nothing
+    (Readable_DuplicationDetector.java:20-33), not crash."""
+    import numpy as np
+
+    from mapper_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(17)
+    core = "".join(rng.choice(list("ACGT"), size=2000))
+    seg = core[300:700]
+    mutated = list(seg)
+    for k in range(0, len(mutated), 57):
+        mutated[k] = "ACGT"[(("ACGT".index(mutated[k])) + 1) % 4]
+    ref_text = core + seg + "".join(mutated) + core[1000:1400]
+    (tmp_path / "ref.fasta").write_text(">dup\n" + ref_text + "\n")
+    reads = []
+    for i in range(30):
+        pos = int(rng.integers(0, len(ref_text) - 120))
+        reads.append(f">r{i}\n{ref_text[pos:pos+120]}\n")
+    (tmp_path / "reads.fasta").write_text("".join(reads))
+    rc = cli_main(
+        [
+            "--reference", str(tmp_path / "ref.fasta"),
+            "--queries", str(tmp_path / "reads.fasta"),
+            "--infer-ancestors",
+            "--out-sam", str(tmp_path / "out.sam"),
+        ]
+    )
+    assert rc == 0
+    body = [l for l in (tmp_path / "out.sam").read_text().splitlines() if not l.startswith("@")]
+    assert len(body) >= 30  # everything aligned (duplicated region may multi-map)
