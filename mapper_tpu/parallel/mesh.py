@@ -82,18 +82,11 @@ def sharded_banded_scores(mesh: Mesh, params, band: int):
 def reduce_pileup(mesh: Mesh, shard_counts):
     """All-reduce per-shard pileup count arrays (the VCF/mutations
     "groupByPosition" merge) across the data axis with a psum."""
-    from jax.experimental.shard_map import shard_map
-
     @jax.jit
     def reduced(counts):
         def inner(c):
             return jax.lax.psum(c, axis_name="data")
 
-        return shard_map(
-            inner,
-            mesh=mesh,
-            in_specs=P("data"),
-            out_specs=P(),
-        )(counts)
+        return _shard_map(inner, mesh, P("data"), P())(counts)
 
     return reduced(shard_counts)
