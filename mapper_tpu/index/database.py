@@ -316,54 +316,237 @@ class HashBlockDatabase:
                     by_size_amb,
                 )
         else:
-            # scalar fallback for sequences containing ambiguity codes
-            entries = []  # (num_bp, fwd, rev, primary, secondary, start, length, amb)
-            for row in scalar.scalar_pyramid(codes):
-                if not row:
-                    break
-                min_len = min(
-                    (b.length for b, _ in scalar.iter_concrete_blocks(row)), default=1 << 30
+            # Sequences containing ambiguity codes (IUPAC): block formation is
+            # a local function of sequence content (the reference exploits the
+            # same property in HashBlock_Compiler's lookahead memoizer,
+            # HashBlock_Compiler.java:74-90), so sparse ambiguity — the shape
+            # ancestry inference produces — hashes as native/vectorized clean
+            # segments plus scalar windows around each ambiguous position.
+            if not self._hash_sequence_hybrid(
+                codes, lo, hi, seq_start, rc_start, n,
+                by_size_keys, by_size_positions, by_size_amb,
+            ):
+                # dense ambiguity: full scalar pass
+                entries = self._scalar_entries(codes, lo, hi)
+                self._emit_entries(
+                    entries, seq_start, rc_start, n,
+                    by_size_keys, by_size_positions, by_size_amb,
                 )
-                if min_len > hi:
-                    break
-                for block, is_conditional in scalar.iter_concrete_blocks(row):
-                    g = block.with_gap_and_extension(codes) if self.enable_gapmers else block
-                    if g is None:
-                        continue
-                    if not (self.min_interesting_size <= g.num_basepairs_used <= hi):
-                        continue
-                    if g.num_basepairs_used <= lo:
-                        continue
-                    entries.append(
-                        (
-                            g.num_basepairs_used,
-                            g.fwd,
-                            g.rev,
-                            g.is_primary_polarity(),
-                            g.is_secondary_polarity(),
-                            g.start,
-                            g.length,
-                            is_conditional,
-                        )
+
+    def _scalar_entries(self, codes, lo, hi, offset=0, keep=None):
+        """Scalar-pyramid pass over ``codes`` returning emit tuples.  ``offset``
+        shifts block starts into full-sequence coordinates; ``keep`` optionally
+        restricts output to blocks whose (shifted) start lies in [keep[0],
+        keep[1])."""
+        entries = []  # (num_bp, fwd, rev, primary, secondary, start, length, amb)
+        for row in scalar.scalar_pyramid(codes):
+            if not row:
+                break
+            min_len = min(
+                (b.length for b, _ in scalar.iter_concrete_blocks(row)), default=1 << 30
+            )
+            if min_len > hi:
+                break
+            for block, is_conditional in scalar.iter_concrete_blocks(row):
+                g = block.with_gap_and_extension(codes) if self.enable_gapmers else block
+                if g is None:
+                    continue
+                if not (self.min_interesting_size <= g.num_basepairs_used <= hi):
+                    continue
+                if g.num_basepairs_used <= lo:
+                    continue
+                start = g.start + offset
+                if keep is not None and not (keep[0] <= start < keep[1]):
+                    continue
+                entries.append(
+                    (
+                        g.num_basepairs_used,
+                        g.fwd,
+                        g.rev,
+                        g.is_primary_polarity(),
+                        g.is_secondary_polarity(),
+                        start,
+                        g.length,
+                        is_conditional,
                     )
-            if entries:
-                arr = np.array(entries, dtype=np.int64)
-                self._emit(
-                    arr[:, 0],
-                    arr[:, 1],
-                    arr[:, 2],
-                    arr[:, 3].astype(bool),
-                    arr[:, 4].astype(bool),
-                    arr[:, 5],
-                    arr[:, 6],
-                    arr[:, 7].astype(bool),
-                    seq_start,
-                    rc_start,
-                    n,
-                    by_size_keys,
-                    by_size_positions,
-                    by_size_amb,
                 )
+        return entries
+
+    def _emit_entries(
+        self, entries, seq_start, rc_start, n,
+        by_size_keys, by_size_positions, by_size_amb,
+    ):
+        if not entries:
+            return
+        arr = np.array(entries, dtype=np.int64)
+        self._emit(
+            arr[:, 0],
+            arr[:, 1],
+            arr[:, 2],
+            arr[:, 3].astype(bool),
+            arr[:, 4].astype(bool),
+            arr[:, 5],
+            arr[:, 6],
+            arr[:, 7].astype(bool),
+            seq_start,
+            rc_start,
+            n,
+            by_size_keys,
+            by_size_positions,
+            by_size_amb,
+        )
+
+    def _collect_clean(self, codes, lo, hi):
+        """All insertable blocks of a clean (ambiguity-free) code stretch as
+        arrays (num_bp, fwd, rev, primary, secondary, start, length), via the
+        native collector when available, else the vectorized pyramid."""
+        if self.enable_gapmers:
+            import os
+
+            if os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
+                from mapper_tpu import native
+
+                collected = native.native_collect_blocks(
+                    codes, self.min_interesting_size, lo, hi
+                )
+                if collected is not None:
+                    return collected
+        parts = []
+        prefixes = hashblock.GapmerPrefixes(codes) if self.enable_gapmers else None
+        for row in hashblock.build_pyramid(codes):
+            if len(row) == 0 or row.min_length() > hi:
+                break
+            if self.enable_gapmers:
+                if (
+                    hashblock.max_gapmer_num_basepairs_used(int(row.length.max()))
+                    < self.min_interesting_size
+                ):
+                    continue
+                g = hashblock.expand_gapmers(row, prefixes)
+                num_bp, fwd, rev = g.num_basepairs_used, g.fwd, g.rev
+                primary, secondary = g.primary, g.secondary
+                start, length = g.start, g.length
+            else:
+                num_bp = row.length
+                fwd, rev = row.fwd, row.rev
+                flags_differ = row.req_l != row.req_r
+                primary = np.where(flags_differ, row.req_l, fwd >= rev)
+                secondary = np.where(flags_differ, row.req_r, fwd <= rev)
+                start, length = row.start, row.length
+            keep = (
+                (num_bp >= self.min_interesting_size) & (num_bp > lo) & (num_bp <= hi)
+            )
+            if np.any(keep):
+                parts.append(
+                    (num_bp[keep], fwd[keep], rev[keep], primary[keep],
+                     secondary[keep], start[keep], length[keep])
+                )
+        if not parts:
+            z = np.zeros(0, dtype=np.int64)
+            return (z.astype(np.int32), z.astype(np.int32), z.astype(np.int32),
+                    z.astype(bool), z.astype(bool), z, z.astype(np.int32))
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(7))
+
+    # hybrid hashing constants: block formation converges within ~64 bp of a
+    # window edge (validated empirically incl. low-entropy content); a gapmer
+    # of numBasepairsUsed <= hi spans < 3*hi bp including gap+extension
+    # (HashBlock.java:11-13: maxSpan = L + 9L/8 + 1).
+    _HYBRID_MAX_AMB_FRACTION = 0.05
+
+    def _hash_sequence_hybrid(
+        self, codes, lo, hi, seq_start, rc_start, n,
+        by_size_keys, by_size_positions, by_size_amb,
+    ) -> bool:
+        """Hash a sequence with *sparse* ambiguity: scalar (with conditional
+        IUPAC expansion) only inside windows around ambiguous positions,
+        native/vectorized everywhere else.  Partition rule: a block belongs to
+        the scalar pass iff its start lies in a "territory" around a group of
+        ambiguous positions; territories are far enough from both the scalar
+        window's edges and the clean segments' edges that both passes agree on
+        every block near the boundary.  Returns False when ambiguity is too
+        dense to pay off (caller falls back to the full scalar pass)."""
+        amb_pos = np.nonzero(basepairs.TWO_BIT_TABLE[codes] < 0)[0]
+        if amb_pos.size == 0 or amb_pos.size > max(8, int(n * self._HYBRID_MAX_AMB_FRACTION)):
+            return False
+        span = 3 * hi  # upper bound on a gapmer's footprint in bp
+        territory_pad = span + 64  # blocks starting further away never see the ambiguity
+        window_pad = territory_pad + span + 128  # scalar context beyond the territory
+        if n < 4 * window_pad:
+            return False  # too small for the split to be worthwhile
+
+        # group ambiguous positions whose windows would overlap
+        groups: list[list[int]] = []
+        for p in amb_pos.tolist():
+            if groups and p - groups[-1][1] <= 2 * window_pad:
+                groups[-1][1] = p
+            else:
+                groups.append([p, p])
+
+        # 1) scalar windows (emit blocks starting inside the territory)
+        all_entries = []
+        for first, last in groups:
+            ws, we = max(0, first - window_pad), min(n, last + 1 + window_pad)
+            ts = max(0, first - territory_pad)
+            te = min(n, last + 1 + territory_pad)
+            # a window clipped by the sequence edge has no edge effect there
+            # (the full-sequence pyramid ends at the same place)
+            all_entries.extend(
+                self._scalar_entries(codes[ws:we], lo, hi, offset=ws, keep=(ts, te))
+            )
+        self._emit_entries(
+            all_entries, seq_start, rc_start, n,
+            by_size_keys, by_size_positions, by_size_amb,
+        )
+
+        # 2) clean segments between ambiguity groups (emit blocks starting
+        # outside every territory)
+        boundaries = [(max(0, f - territory_pad), min(n, l + 1 + territory_pad)) for f, l in groups]
+        prev = 0
+        for gi, (first, last) in enumerate(groups):
+            if first > prev:
+                self._hash_clean_segment(
+                    codes, prev, first, gi, boundaries, lo, hi,
+                    seq_start, rc_start, n,
+                    by_size_keys, by_size_positions, by_size_amb,
+                )
+            prev = last + 1
+        if prev < n:
+            self._hash_clean_segment(
+                codes, prev, n, len(groups), boundaries, lo, hi,
+                seq_start, rc_start, n,
+                by_size_keys, by_size_positions, by_size_amb,
+            )
+        return True
+
+    def _hash_clean_segment(
+        self, codes, s, e, group_index, boundaries, lo, hi,
+        seq_start, rc_start, n,
+        by_size_keys, by_size_positions, by_size_amb,
+    ) -> None:
+        """Hash clean stretch [s, e) standalone and emit blocks whose start
+        falls outside the neighboring territories ([ts,te) intervals in
+        ``boundaries``; the segment before group ``group_index`` is bounded by
+        territories group_index-1 and group_index)."""
+        num_bp, fwd, rev, primary, secondary, start, length = self._collect_clean(
+            codes[s:e], lo, hi
+        )
+        if num_bp.shape[0] == 0:
+            return
+        start = start + s
+        keep = np.ones(start.shape[0], dtype=bool)
+        if group_index > 0:
+            keep &= start >= boundaries[group_index - 1][1]
+        if group_index < len(boundaries):
+            keep &= start < boundaries[group_index][0]
+        if not np.any(keep):
+            return
+        self._emit(
+            num_bp[keep], fwd[keep], rev[keep], primary[keep], secondary[keep],
+            start[keep], length[keep],
+            np.zeros(int(keep.sum()), dtype=bool),
+            seq_start, rc_start, n,
+            by_size_keys, by_size_positions, by_size_amb,
+        )
 
     @staticmethod
     def _append(store: dict, size_arr, value_arr) -> None:

@@ -212,3 +212,42 @@ def test_dircache_uniqueness_and_consistency(tmp_path):
     for i in (0, 1, 500, 999):
         keys = {"kind": "test", "n": str(i), "flavor": str(i % 7)}
         assert cache.get_or_create_dir(keys) == dirs[i]
+
+
+def test_hybrid_ambiguity_hashing_matches_scalar():
+    """Sequences with sparse IUPAC codes hash via the hybrid path (native
+    clean segments + scalar windows around the ambiguity); every PackedIndex
+    must be structurally identical to the full scalar pass."""
+    import numpy as np
+
+    from mapper_tpu.index.database import HashBlockDatabase
+    from mapper_tpu.sequence import Sequence, SequenceDatabase
+
+    rng = np.random.default_rng(11)
+    bases = np.array(list("ACGT"))
+    amb_codes = list("RYSWKMN")
+    n, n_amb = 24000, 12
+    t = list(rng.choice(bases, size=n))
+    for p in rng.choice(n, size=n_amb, replace=False):
+        t[p] = amb_codes[int(rng.integers(0, len(amb_codes)))]
+    # ambiguity near the sequence edges exercises window clipping
+    t[3] = "N"
+    t[-2] = "R"
+    text = "".join(t)
+
+    def build(force_scalar):
+        old = HashBlockDatabase._HYBRID_MAX_AMB_FRACTION
+        HashBlockDatabase._HYBRID_MAX_AMB_FRACTION = -1.0 if force_scalar else old
+        try:
+            seq_db = SequenceDatabase(
+                [Sequence.from_text("s", text)], add_reverse_complements=True
+            )
+            return HashBlockDatabase(seq_db)
+        finally:
+            HashBlockDatabase._HYBRID_MAX_AMB_FRACTION = old
+
+    hybrid = build(False)
+    scalar_db = build(True)
+    assert set(hybrid.maps) == set(scalar_db.maps)
+    for size in hybrid.maps:
+        hybrid.maps[size].verify_matches(scalar_db.maps[size])
