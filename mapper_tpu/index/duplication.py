@@ -238,31 +238,58 @@ class DuplicationDetector:
         prefix_length = (block_length + 3) // 4
         amb = basepairs.TWO_BIT_TABLE[concat] < 0
         pending: list[tuple[int, Duplication]] = []
-        for b in interesting.tolist():
-            forward = m.values[m.offsets[b] : m.offsets[b + 1]]
-            reverse = self.database.reverse_complement_positions(forward, block_length)
-            matches = np.concatenate([forward, reverse])
-            # group by edge text (prefix + suffix) to kill collisions
-            idx_prefix = matches[:, None] + np.arange(prefix_length, dtype=np.int64)[None, :]
-            idx_suffix = (
-                matches[:, None]
-                + (block_length - prefix_length)
-                + np.arange(prefix_length, dtype=np.int64)[None, :]
-            )
-            texts = np.concatenate([concat[idx_prefix], concat[idx_suffix]], axis=1)
-            ambiguous_rows = amb[idx_prefix].any(axis=1) | amb[idx_suffix].any(axis=1)
-            keep = ~ambiguous_rows
-            if not np.any(keep):
-                continue
-            texts = texts[keep]
-            kept_matches = matches[keep]
-            _, group_ids = np.unique(texts, axis=0, return_inverse=True)
-            for g in range(int(group_ids.max()) + 1):
-                group_positions = np.unique(kept_matches[group_ids == g])
-                if group_positions.shape[0] >= self.min_num_interesting_copies:
-                    dup = Duplication(block_length, group_positions.tolist())
-                    for pos in dup.positions:
-                        pending.append((pos, dup))
+
+        # one vectorized pass over ALL interesting bins (per-bin np.unique
+        # calls were the detection hotspot): CSR-gather every stored forward
+        # position, add reverse complements, group rows by (bin, edge text),
+        # then dedup positions within each group.
+        bin_counts = (m.offsets[interesting + 1] - m.offsets[interesting]).astype(np.int64)
+        total = int(bin_counts.sum())
+        if total == 0:
+            return
+        row_bin = np.repeat(np.arange(interesting.shape[0], dtype=np.int64), bin_counts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(bin_counts) - bin_counts, bin_counts
+        )
+        forward = m.values[np.repeat(m.offsets[interesting], bin_counts) + within]
+        reverse = self.database.reverse_complement_positions(forward, block_length)
+        matches = np.concatenate([forward, reverse])
+        bins = np.concatenate([row_bin, row_bin])
+
+        # group by edge text (prefix + suffix) to kill collisions
+        idx_prefix = matches[:, None] + np.arange(prefix_length, dtype=np.int64)[None, :]
+        idx_suffix = (
+            matches[:, None]
+            + (block_length - prefix_length)
+            + np.arange(prefix_length, dtype=np.int64)[None, :]
+        )
+        keep = ~(amb[idx_prefix].any(axis=1) | amb[idx_suffix].any(axis=1))
+        if not np.any(keep):
+            return
+        combined = np.empty((int(keep.sum()), 1 + 2 * prefix_length), dtype=np.int32)
+        combined[:, 0] = bins[keep]
+        combined[:, 1 : 1 + prefix_length] = concat[idx_prefix[keep]]
+        combined[:, 1 + prefix_length :] = concat[idx_suffix[keep]]
+        kept_matches = matches[keep]
+        # rows sorted by (bin, text) reproduce the sequential loop's group
+        # order: bins ascending, np.unique's lexicographic text order within
+        _, group_ids = np.unique(combined, axis=0, return_inverse=True)
+        group_ids = group_ids.reshape(-1)
+
+        order = np.lexsort((kept_matches, group_ids))
+        g_s = group_ids[order]
+        p_s = kept_matches[order]
+        uniq = np.ones(g_s.shape[0], dtype=bool)
+        uniq[1:] = (g_s[1:] != g_s[:-1]) | (p_s[1:] != p_s[:-1])
+        g_u = g_s[uniq]
+        p_u = p_s[uniq]
+        starts = np.nonzero(np.r_[True, g_u[1:] != g_u[:-1]])[0]
+        ends = np.r_[starts[1:], g_u.shape[0]]
+        sizes = ends - starts
+        for k in np.nonzero(sizes >= self.min_num_interesting_copies)[0].tolist():
+            dup = Duplication(block_length, p_u[starts[k] : ends[k]].tolist())
+            for pos in dup.positions:
+                pending.append((pos, dup))
         self._insert(pending)
 
     def _insert(self, pending: list[tuple[int, Duplication]]) -> None:
