@@ -236,6 +236,8 @@ class AncestryDetector:
 
         most_popular: list[int] = []
         while interested and len(available) >= 3:
+            if self._advance_chunk(available, interested, most_popular, polarity):
+                continue
             no_longer_interested: list[SimilarityAnalysis] = []
             no_longer_available: list[SimilarityAnalysis] = []
 
@@ -299,6 +301,91 @@ class AncestryDetector:
             # write inferred ancestors for walks that just ended
             for a in no_longer_interested:
                 self._write_differences(duplication, a, most_popular, polarity)
+
+    _CHUNK_CAP = 1 << 14
+
+    def _advance_chunk(
+        self,
+        available: list[SimilarityAnalysis],
+        interested: set[int],
+        most_popular: list[int],
+        polarity: int,
+    ) -> bool:
+        """Vectorized fast path for the outward walk: while no walker finishes
+        (reaches its bound / leaves its sequence) or dies (score < 0), the
+        walker set is fixed, so majority votes and score updates for a whole
+        stretch of offsets compute as array math with the same float-add order
+        as the sequential loop.  Processes the longest event-free stretch and
+        returns True, or returns False when the next iteration is an event the
+        scalar step must handle."""
+        thr = self.dissimilarity_threshold
+        # steps until a deterministic event (bound reach for interested
+        # walkers at iteration start; sequence exit for any walker)
+        t = self._CHUNK_CAP
+        for a in available:
+            if id(a) in interested:
+                t = min(t, (a.bound_index - a.current_index) * polarity)
+            if polarity > 0:
+                t = min(t, len(a.sequence) - a.current_index)
+            else:
+                t = min(t, a.current_index + 1)
+        # a walker's score drops at most (1 - thr) per step, so no death can
+        # occur within floor(min_score / (1 - thr)) steps — a chunk that long
+        # needs no per-step death scan at all
+        if thr < 1.0:
+            min_score = min(a.cumulative_score for a in available)
+            t = min(t, int(min_score / (1.0 - thr)))
+        if t <= 0:
+            return False
+
+        rows = []
+        for a in available:
+            p = a.current_index
+            if polarity > 0:
+                rows.append(a.sequence.codes[p : p + t])
+            else:
+                rows.append(a.sequence.codes[p - t + 1 : p + 1][::-1])
+        codes = np.stack(rows).astype(np.int64)  # [W, T]
+
+        # counts[code, t] without np.add.at: bincount over code + 16*column
+        flat = codes + 16 * np.arange(t, dtype=np.int64)[None, :]
+        counts = np.bincount(flat.ravel(), minlength=16 * t).reshape(t, 16).T
+        best_count = counts.max(axis=0)
+        pop = counts.argmax(axis=0)  # first max = lowest code, as in the loop
+        tie = (counts == best_count[None, :]).sum(axis=0) > 1
+        pop = np.where(tie, NO_ANCESTOR, pop)
+
+        delta = np.where(codes == pop[None, :], thr, thr - 1.0)
+        # same float-add order as the sequential add_score calls:
+        # c_t = (((s0 + d1) + d2) + ...) — cumsum over [s0, d1, d2, ...]
+        seeded = np.concatenate(
+            (np.array([a.cumulative_score for a in available])[:, None], delta), axis=1
+        )
+        cum = np.cumsum(seeded, axis=1)[:, 1:]
+        # the no-death bound above is algebraic; float rounding at the exact
+        # boundary could still dip below zero — truncate to the event-free
+        # prefix in that (rare) case
+        dead_cols = (cum < 0).any(axis=0)
+        if dead_cols.any():
+            t = int(np.argmax(dead_cols))
+            if t <= 0:
+                return False
+            cum = cum[:, :t]
+            pop = pop[:t]
+
+        for i, a in enumerate(available):
+            c = cum[i]
+            run_prev = np.maximum.accumulate(np.concatenate(([a.best_score], c)))[:-1]
+            improved = c > run_prev
+            if improved.any():
+                t_last = int(np.nonzero(improved)[0].max())
+                a.best_score = float(c[t_last])
+                a.best_index = a.current_index + t_last * polarity
+                a.has_improved = True
+            a.cumulative_score = float(c[-1])
+            a.current_index += t * polarity
+        most_popular.extend(int(v) for v in pop[:t])
+        return True
 
     def _write_differences(
         self,
