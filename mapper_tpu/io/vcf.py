@@ -81,7 +81,7 @@ class VcfWriter:
         # covered genomes this is nearly every row ---------------------------
         from mapper_tpu.pileup import _CODE_TO_ROW
 
-        present = (pileup.middle + pileup.end) > 0
+        present = (pileup.middle > 0) | (pileup.end > 0)
         n_alleles = present.sum(axis=0)
         ref_row = _CODE_TO_ROW[sequence.codes].astype(np.int64)
         is_acgt = np.isin(sequence.codes, (1, 2, 4, 8))
@@ -94,40 +94,26 @@ class VcfWriter:
             covered_mask & is_acgt & (n_alleles == 1) & ref_present & ~has_ins
         )
 
-        simple_lines: list[str] = []
+        # every row is "<name>\t<pos+1><suffix>"; there are few distinct
+        # suffixes among simple rows, plus one per complex row
+        supp = "\t." if self.show_support_read else ""
+        suffixes: list[str] = []
         simple_pos = np.zeros(0, dtype=np.int64)
+        simple_ids = np.zeros(0, dtype=np.int32)
         if self.include_non_mutations:
             keep = simple & (total >= p.min_snp_total_depth)
             simple_pos = np.nonzero(keep)[0]
             if simple_pos.shape[0]:
-                # few distinct (ref base, mid, end) combos: format each once
-                # (per-column uniques + an int key beat np.unique(axis=0)'s
-                # row-sort by ~10x at genome scale)
-                mid_u, mid_inv = np.unique(middle_depth[simple_pos], return_inverse=True)
-                end_u, end_inv = np.unique(end_depth[simple_pos], return_inverse=True)
-                key = (
-                    ref_row[simple_pos] * mid_u.shape[0] + mid_inv
-                ) * end_u.shape[0] + end_inv
-                key_u, inverse = np.unique(key, return_inverse=True)
-                supp = "\t." if self.show_support_read else ""
-                suffixes = []
-                for k in key_u.tolist():
-                    e_i = k % end_u.shape[0]
-                    rest = k // end_u.shape[0]
-                    m_i = rest % mid_u.shape[0]
-                    rc = ROW_CHARS[int(rest // mid_u.shape[0])]
-                    ms = format_number(float(mid_u[m_i]))
-                    es = format_number(float(end_u[e_i]))
-                    suffixes.append(f"\t{rc}\t{ms}\t{es}\t{rc}={ms}+{es}{supp}\n")
-                name = sequence.name
-                simple_lines = [
-                    f"{name}\t{pos}{suffixes[j]}"
-                    for pos, j in zip((simple_pos + 1).tolist(), inverse.tolist())
-                ]
+                simple_ids = self._simple_suffix_ids(
+                    ref_row[simple_pos],
+                    middle_depth[simple_pos],
+                    end_depth[simple_pos],
+                    supp,
+                    suffixes,
+                )
 
         # --- exact per-position path for everything else ---------------------
         complex_pos_list: list[int] = []
-        complex_lines: list[str] = []
         for pos in np.nonzero(covered_mask & ~simple)[0].tolist():
             ref_char = basepairs.decode_one(int(sequence.codes[pos]))
             alleles = []
@@ -148,33 +134,88 @@ class VcfWriter:
                 continue
             if total[pos] < p.min_snp_total_depth:
                 continue
-            fields = [
-                sequence.name,
-                str(pos + 1),
-                ref_char,
-                format_number(middle_depth[pos]),
-                format_number(end_depth[pos]),
-                ";".join(alleles),
-            ]
-            if self.show_support_read:
-                fields.append(".")
             complex_pos_list.append(pos)
-            complex_lines.append("\t".join(fields) + "\n")
+            suffixes.append(
+                f"\t{ref_char}\t{format_number(middle_depth[pos])}"
+                f"\t{format_number(end_depth[pos])}\t{';'.join(alleles)}{supp}\n"
+            )
 
         # merge the two (each position-sorted) streams back into one order
-        if complex_lines:
+        n_simple = simple_pos.shape[0]
+        n_complex = len(complex_pos_list)
+        if n_complex:
             complex_pos = np.array(complex_pos_list, dtype=np.int64)
-            merged: list[str | None] = [None] * (len(simple_lines) + len(complex_lines))
-            s_idx = np.arange(len(simple_lines)) + np.searchsorted(
-                complex_pos, simple_pos
+            complex_ids = np.arange(
+                len(suffixes) - n_complex, len(suffixes), dtype=np.int32
             )
-            c_idx = np.arange(len(complex_lines)) + np.searchsorted(
-                simple_pos, complex_pos
-            )
-            for i, line in zip(s_idx.tolist(), simple_lines):
-                merged[i] = line
-            for i, line in zip(c_idx.tolist(), complex_lines):
-                merged[i] = line
-            self.stream.write("".join(merged))
+            merged_pos = np.empty(n_simple + n_complex, dtype=np.int64)
+            merged_ids = np.empty(n_simple + n_complex, dtype=np.int32)
+            s_idx = np.arange(n_simple) + np.searchsorted(complex_pos, simple_pos)
+            c_idx = np.arange(n_complex) + np.searchsorted(simple_pos, complex_pos)
+            merged_pos[s_idx] = simple_pos
+            merged_ids[s_idx] = simple_ids
+            merged_pos[c_idx] = complex_pos
+            merged_ids[c_idx] = complex_ids
         else:
-            self.stream.write("".join(simple_lines))
+            merged_pos = simple_pos
+            merged_ids = simple_ids
+        if merged_pos.shape[0] == 0:
+            return
+
+        from mapper_tpu.native import native_format_rows
+
+        name = sequence.name
+        text = native_format_rows(name + "\t", merged_pos + 1, merged_ids, suffixes)
+        if text is None:
+            text = "".join(
+                f"{name}\t{pos}{suffixes[j]}"
+                for pos, j in zip((merged_pos + 1).tolist(), merged_ids.tolist())
+            )
+        self.stream.write(text)
+
+    @staticmethod
+    def _simple_suffix_ids(
+        rows: np.ndarray,
+        mid: np.ndarray,
+        end: np.ndarray,
+        supp: str,
+        suffixes: list[str],
+    ) -> np.ndarray:
+        """Appends the distinct simple-row suffixes to `suffixes` and returns
+        each row's suffix index.  Depths are almost always half-integers
+        (weights 1.0 and 0.5), so the common case builds a dense integer key
+        and avoids any sort."""
+        mid2 = mid * 2.0
+        end2 = end * 2.0
+        mid2i = mid2.astype(np.int64)
+        end2i = end2.astype(np.int64)
+        base = len(suffixes)
+        if np.array_equal(mid2i, mid2) and np.array_equal(end2i, end2):
+            m_card = int(mid2i.max()) + 1
+            e_card = int(end2i.max()) + 1
+            if 6 * m_card * e_card <= 1 << 22:
+                key = (rows * m_card + mid2i) * e_card + end2i
+                counts = np.bincount(key, minlength=6 * m_card * e_card)
+                lut = np.cumsum(counts > 0, dtype=np.int64) - 1
+                for k in np.nonzero(counts)[0].tolist():
+                    e_i = k % e_card
+                    rest = k // e_card
+                    rc = ROW_CHARS[int(rest // m_card)]
+                    ms = format_number((rest % m_card) / 2.0)
+                    es = format_number(e_i / 2.0)
+                    suffixes.append(f"\t{rc}\t{ms}\t{es}\t{rc}={ms}+{es}{supp}\n")
+                return (base + lut[key]).astype(np.int32)
+        # general case: fractional depths (e.g. 1/3 weights); sort-based dedup
+        mid_u, mid_inv = np.unique(mid, return_inverse=True)
+        end_u, end_inv = np.unique(end, return_inverse=True)
+        key = (rows * mid_u.shape[0] + mid_inv) * end_u.shape[0] + end_inv
+        key_u, inverse = np.unique(key, return_inverse=True)
+        for k in key_u.tolist():
+            e_i = k % end_u.shape[0]
+            rest = k // end_u.shape[0]
+            m_i = rest % mid_u.shape[0]
+            rc = ROW_CHARS[int(rest // mid_u.shape[0])]
+            ms = format_number(float(mid_u[m_i]))
+            es = format_number(float(end_u[e_i]))
+            suffixes.append(f"\t{rc}\t{ms}\t{es}\t{rc}={ms}+{es}{supp}\n")
+        return (base + inverse).astype(np.int32)

@@ -22,12 +22,16 @@ _SOURCE = os.path.join(_HERE, "dp.cpp")
 _LIBRARY = os.path.join(_HERE, "libmapperdp.so")
 _CAND_SOURCE = os.path.join(_HERE, "candidates.cpp")
 _CAND_LIBRARY = os.path.join(_HERE, "libmappercand.so")
+_TEXT_SOURCE = os.path.join(_HERE, "textrows.cpp")
+_TEXT_LIBRARY = os.path.join(_HERE, "libmappertext.so")
 
 _lock = threading.Lock()
 _lib = None
 _load_failed = False
 _cand_lib = None
 _cand_load_failed = False
+_text_lib = None
+_text_load_failed = False
 
 
 def _build(source: str = _SOURCE, library: str = _LIBRARY, extra=()) -> bool:
@@ -132,6 +136,75 @@ def get_candidates_library():
         except Exception:
             _cand_load_failed = True
     return _cand_lib
+
+
+def get_textrows_library():
+    """The loaded native text-row formatter, or None when unavailable."""
+    global _text_lib, _text_load_failed
+    if _text_lib is not None or _text_load_failed:
+        return _text_lib
+    with _lock:
+        if _text_lib is not None or _text_load_failed:
+            return _text_lib
+        if not os.path.exists(_TEXT_LIBRARY) or os.path.getmtime(
+            _TEXT_LIBRARY
+        ) < os.path.getmtime(_TEXT_SOURCE):
+            if not _build(_TEXT_SOURCE, _TEXT_LIBRARY):
+                _text_load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_TEXT_LIBRARY)
+            lib.mapper_format_rows.restype = ctypes.c_int64
+            lib.mapper_format_rows.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_char),
+                ctypes.c_int64,
+            ]
+            _text_lib = lib
+        except Exception:
+            _text_load_failed = True
+    return _text_lib
+
+
+def native_format_rows(
+    prefix: str, positions: np.ndarray, suffix_ids: np.ndarray, suffixes: list[str]
+) -> str | None:
+    """Assemble `prefix + str(position) + suffixes[id]` for every row into one
+    string, or None when the native library is unavailable."""
+    lib = get_textrows_library()
+    if lib is None or positions.shape[0] == 0:
+        return None
+    prefix_b = prefix.encode("ascii")
+    suffix_bytes = [s.encode("ascii") for s in suffixes]
+    lens = np.array([len(s) for s in suffix_bytes], dtype=np.int64)
+    offsets = np.zeros(len(suffix_bytes) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    blob = b"".join(suffix_bytes)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    suffix_ids = np.ascontiguousarray(suffix_ids, dtype=np.int32)
+    n = positions.shape[0]
+    capacity = int(n * (len(prefix_b) + 20) + lens[suffix_ids].sum())
+    out = np.empty(capacity, dtype=np.uint8)
+    written = lib.mapper_format_rows(
+        prefix_b,
+        len(prefix_b),
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        suffix_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_char)),
+        capacity,
+    )
+    if written < 0:
+        return None
+    return out[:written].tobytes().decode("ascii")
 
 
 def native_generate_candidates(
