@@ -113,32 +113,55 @@ class VcfWriter:
                 )
 
         # --- exact per-position path for everything else ---------------------
+        # bulk-extract the complex columns once (per-element numpy scalar
+        # access is ~10x slower than iterating plain Python floats), and
+        # memoize the number formatting (depth values repeat heavily)
         complex_pos_list: list[int] = []
-        for pos in np.nonzero(covered_mask & ~simple)[0].tolist():
-            ref_char = basepairs.decode_one(int(sequence.codes[pos]))
-            alleles = []
-            is_mutation = False
-            for row in range(6):
-                mid_w = pileup.middle[row, pos]
-                end_w = pileup.end[row, pos]
-                if mid_w + end_w <= 0:
-                    continue
-                char = ROW_CHARS[row]
-                if char != ref_char:
+        cpos = np.nonzero(covered_mask & ~simple)[0]
+        if cpos.shape[0]:
+            mid_rows = pileup.middle[:, cpos].T.tolist()
+            end_rows = pileup.end[:, cpos].T.tolist()
+            ref_chars = basepairs.decode(sequence.codes[cpos])
+            total_c = total[cpos].tolist()
+            midd_c = middle_depth[cpos].tolist()
+            endd_c = end_depth[cpos].tolist()
+            fmt_cache: dict[float, str] = {}
+
+            def fmt(v: float) -> str:
+                s = fmt_cache.get(v)
+                if s is None:
+                    s = fmt_cache[v] = format_number(v)
+                return s
+
+            min_depth = p.min_snp_total_depth
+            include_all = self.include_non_mutations
+            for i, pos in enumerate(cpos.tolist()):
+                ref_char = ref_chars[i]
+                mid6 = mid_rows[i]
+                end6 = end_rows[i]
+                alleles = []
+                is_mutation = False
+                for row in range(6):
+                    mid_w = mid6[row]
+                    end_w = end6[row]
+                    if mid_w + end_w <= 0:
+                        continue
+                    char = ROW_CHARS[row]
+                    if char != ref_char:
+                        is_mutation = True
+                    alleles.append(f"{char}={fmt(mid_w)}+{fmt(end_w)}")
+                for text, mid_w, end_w, _example in insertions_by_pos.get(pos, []):
                     is_mutation = True
-                alleles.append(f"{char}={format_number(mid_w)}+{format_number(end_w)}")
-            for text, mid_w, end_w, _example in insertions_by_pos.get(pos, []):
-                is_mutation = True
-                alleles.append(f"ins:{text}={format_number(mid_w)}+{format_number(end_w)}")
-            if not is_mutation and not self.include_non_mutations:
-                continue
-            if total[pos] < p.min_snp_total_depth:
-                continue
-            complex_pos_list.append(pos)
-            suffixes.append(
-                f"\t{ref_char}\t{format_number(middle_depth[pos])}"
-                f"\t{format_number(end_depth[pos])}\t{';'.join(alleles)}{supp}\n"
-            )
+                    alleles.append(f"ins:{text}={fmt(mid_w)}+{fmt(end_w)}")
+                if not is_mutation and not include_all:
+                    continue
+                if total_c[i] < min_depth:
+                    continue
+                complex_pos_list.append(pos)
+                suffixes.append(
+                    f"\t{ref_char}\t{fmt(midd_c[i])}"
+                    f"\t{fmt(endd_c[i])}\t{';'.join(alleles)}{supp}\n"
+                )
 
         # merge the two (each position-sorted) streams back into one order
         n_simple = simple_pos.shape[0]
