@@ -292,3 +292,42 @@ def test_vcf_vectorized_fast_path_matches_plain_loop(tmp_path):
                 )
                 want = plain(include, params, show_support)
                 assert got == want, (include, show_support, params.min_snp_total_depth)
+
+def test_vcf_fractional_depths_and_python_fallback(tmp_path, monkeypatch):
+    """Depths that are not half-integers (1/3 weights from 3-way alternative
+    alignments) must take the sort-based suffix path, and the pure-Python row
+    assembly must match the native formatter byte-for-byte."""
+    import io as _io
+
+    import numpy as np
+
+    from mapper_tpu.io import vcf as vcf_mod
+    from mapper_tpu.io.mutations import MutationDetectionParameters
+    from mapper_tpu.io.vcf import VcfWriter
+    from mapper_tpu.pileup import ContigPileup
+    from mapper_tpu.sequence import Sequence
+
+    rng = np.random.default_rng(11)
+    n = 400
+    seq = Sequence.from_text("ctg", "".join(rng.choice(list("ACGT"), size=n)))
+    pileup = ContigPileup.empty(seq)
+    for _ in range(1500):
+        pos = int(rng.integers(0, n))
+        row = int(rng.choice([0, 1, 2, 3, 0, 1, 2, 3, 5]))
+        target = pileup.middle if rng.random() < 0.8 else pileup.end
+        target[row, pos] += float(rng.choice([1.0, 0.5, 1.0 / 3.0]))
+
+    def render():
+        buf = _io.StringIO()
+        VcfWriter(buf, True, MutationDetectionParameters.empty_filter(), True).write(
+            {seq: pileup}
+        )
+        return buf.getvalue()
+
+    with_native = render()
+    import mapper_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "native_format_rows", lambda *a, **k: None)
+    without_native = render()
+    assert with_native == without_native
+    assert with_native.count("\n") > 300
