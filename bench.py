@@ -74,13 +74,16 @@ def main():
     note("warmup done (kernel compiled)")
 
     # the shared remote device's speed swings ~3x minute-to-minute; best of
-    # three passes approximates the steady-state rate of a dedicated chip
-    elapsed = float("inf")
+    # three passes approximates the steady-state rate of a dedicated chip.
+    # All pass times are recorded in the JSON detail so the min-of-3
+    # methodology is visible alongside the headline number (BENCH.md).
+    pass_seconds = []
     for i in range(3):
         t0 = time.time()
         results = engine.process_batch(queries)
-        elapsed = min(elapsed, time.time() - t0)
-        note(f"pass {i}: aligned {len(queries)} reads in {time.time() - t0:.1f}s")
+        pass_seconds.append(time.time() - t0)
+        note(f"pass {i}: aligned {len(queries)} reads in {pass_seconds[-1]:.1f}s")
+    elapsed = min(pass_seconds)
 
     aligned = sum(1 for r in results if r.get_total_of_all_components() > 0)
     reads_per_second = len(queries) / elapsed
@@ -97,6 +100,8 @@ def main():
                     "fallback_reads": engine.stats_fallback_reads,
                     "index_build_seconds": round(index_seconds, 2),
                     "align_seconds": round(elapsed, 2),
+                    "methodology": "min_of_passes",
+                    "pass_seconds": [round(t, 3) for t in pass_seconds],
                     # banded-DP cells processed per wall-second end-to-end
                     # (~1 window of lq x band cells per read; the kernel-only
                     # rate is higher — see BENCH.md)

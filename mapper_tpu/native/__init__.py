@@ -180,8 +180,10 @@ def native_format_rows(
     lib = get_textrows_library()
     if lib is None or positions.shape[0] == 0:
         return None
-    prefix_b = prefix.encode("ascii")
-    suffix_bytes = [s.encode("ascii") for s in suffixes]
+    # utf-8: the native assembly is byte-level, so non-ASCII contig names and
+    # insertion texts pass through unchanged instead of raising.
+    prefix_b = prefix.encode("utf-8")
+    suffix_bytes = [s.encode("utf-8") for s in suffixes]
     lens = np.array([len(s) for s in suffix_bytes], dtype=np.int64)
     offsets = np.zeros(len(suffix_bytes) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
@@ -204,7 +206,7 @@ def native_format_rows(
     )
     if written < 0:
         return None
-    return out[:written].tobytes().decode("ascii")
+    return out[:written].tobytes().decode("utf-8")
 
 
 def native_generate_candidates(

@@ -112,3 +112,17 @@ def test_native_index_build_matches_numpy():
                 size,
                 field,
             )
+
+
+def test_native_format_rows_non_ascii():
+    """Non-ASCII contig names / suffixes pass through the native text-row
+    assembler unchanged (utf-8 byte-level assembly) instead of raising."""
+    from mapper_tpu.native import native_format_rows
+
+    positions = np.array([5, 17], dtype=np.int64)
+    suffix_ids = np.array([0, 1], dtype=np.int32)
+    suffixes = ["\tA\t1\n", "\tGé\t2\n"]
+    text = native_format_rows("contig·µ\t", positions, suffix_ids, suffixes)
+    if text is None:
+        pytest.skip("native textrows library unavailable")
+    assert text == "contig·µ\t5\tA\t1\ncontig·µ\t17\tGé\t2\n"
