@@ -543,7 +543,9 @@ def _gathered_core(
             pen_step, jnp.zeros((b, band), jnp.float32), jnp.arange(lq)
         )
     ungapped = diag_sums[jnp.arange(b), jnp.clip(lane, 0, band - 1)]
-    return scores, ungapped
+    # one stacked output -> one device-to-host fetch (each fetch pays a full
+    # tunnel round trip, ~25 ms on the remote TPU; see BENCH.md)
+    return jnp.stack([scores, ungapped])
 
 
 _GATHERED_FNS: dict = {}
@@ -573,7 +575,7 @@ def _gathered_fn(mesh, band, tile, interpret, use_pallas):
                 core,
                 mesh=mesh,
                 in_specs=(rep, rep, row, row, row, row, P("data", None), P("data", None), rep),
-                out_specs=(row, row),
+                out_specs=P(None, "data"),
             )
         )
     _GATHERED_FNS[key] = fn
@@ -596,6 +598,7 @@ def banded_scores_gathered(
     read_bucket: int = 256,
     mesh=None,
     use_pallas: bool | None = None,
+    stacked: bool = False,
 ):
     """Host wrapper for the gathered scorer: pads the candidate count to a
     tile (× mesh size) multiple and the read count to `read_bucket` (stable
@@ -604,7 +607,14 @@ def banded_scores_gathered(
     `concat_dev` must be a device-resident uint8 array (jax.device_put once
     per index; replicated over the mesh when one is given).  With a mesh the
     candidate rows shard over its `data` axis — scoring is embarrassingly
-    parallel, so no collectives appear."""
+    parallel, so no collectives appear.
+
+    With stacked=True, returns the single [2, padded_B] device array
+    (row 0 banded, row 1 ungapped-at-lane, padded tail included) with its
+    device-to-host copy already started: the remote tunnel charges a ~25 ms
+    round trip per fetch, so callers that fetch asynchronously during later
+    host work (batch/engine.py's pipeline) see a near-zero materialize cost
+    and exactly one fetch."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     reads_u8 = np.asarray(reads_u8, dtype=np.uint8)
@@ -636,11 +646,17 @@ def banded_scores_gathered(
     m_p = pad1(m, np.int32, 1).reshape(-1, 1)
     params_vec = np.array([[float(v) for v in _params_tuple(params)]], dtype=np.float32)
     fn = _gathered_fn(mesh, band, tile, interpret, use_pallas)
-    scores, ungapped = fn(
+    out = fn(
         reads_host, concat_dev, read_id_p, reversed_p, win_start_p, lane_p,
         n_p, m_p, params_vec,
     )
-    return scores[:b], ungapped[:b]
+    if stacked:
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return out
+    return out[0, :b], out[1, :b]
 
 
 def banded_scores(

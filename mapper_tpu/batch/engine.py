@@ -154,21 +154,33 @@ class BatchAligner:
         chunk_pairs = None if chunk is None else max(1, chunk // 2)
         if chunk_pairs is None or n <= chunk_pairs:
             return self._finish_paired(self._dispatch_paired(queries))
-        # even chunks, software-pipelined: chunk k+1's host stages overlap
-        # chunk k's device scoring (same scheme as the single-end path)
-        k = -(-n // chunk_pairs)
+        return self._run_pipelined(
+            queries, chunk_pairs, self._dispatch_paired, self._finish_paired
+        )
+
+    def _run_pipelined(self, items, chunk_size, dispatch, finish):
+        """Two-stage software pipeline over even chunks: chunk k+1's dispatch
+        stage (host candidate generation + async device submit) runs before
+        chunk k's finish stage (device fetch + host decisions + emission), so
+        the device computes chunk k+1's scores and streams them back
+        (copy_to_host_async) while the host decides chunk k.  Single-threaded
+        on the host by measurement: a background dispatch thread oversubscribes
+        the cores (the OpenMP candidate pass already uses them all) and starves
+        the remote-device client threads, costing more than the overlap buys."""
+        n = len(items)
+        k = -(-n // chunk_size)
         base, extra = divmod(n, k)
-        results: list[QueryAlignments | None] = []
+        results = []
         pending = None
         lo = 0
         for i in range(k):
             hi = lo + base + (1 if i < extra else 0)
-            ctx = self._dispatch_paired(queries[lo:hi])
+            ctx = dispatch(items[lo:hi])
             lo = hi
             if pending is not None:
-                results.extend(self._finish_paired(pending))
+                results.extend(finish(pending))
             pending = ctx
-        results.extend(self._finish_paired(pending))
+        results.extend(finish(pending))
         return results
 
     def _dispatch_paired(self, queries: list[Query]):
@@ -600,20 +612,9 @@ class BatchAligner:
             return self._finish_single_end(ctx)
         # even chunk sizes (no ragged tail) keep the padded candidate count in
         # the same compile-size bucket across chunks and across batches
-        k = -(-n // chunk)
-        base, extra = divmod(n, k)
-        results: list[QueryAlignments | None] = []
-        pending = None
-        lo = 0
-        for i in range(k):
-            hi = lo + base + (1 if i < extra else 0)
-            ctx = self._dispatch_single_end(queries[lo:hi])
-            lo = hi
-            if pending is not None:
-                results.extend(self._finish_single_end(pending))
-            pending = ctx
-        results.extend(self._finish_single_end(pending))
-        return results
+        return self._run_pipelined(
+            queries, chunk, self._dispatch_single_end, self._finish_single_end
+        )
 
     def _align_single_end_batch(
         self, queries: list[Query]
@@ -742,7 +743,7 @@ class BatchAligner:
             q_mat = np.zeros((num_reads, lq), dtype=np.uint8)
             for r, seq in enumerate(seqs):
                 q_mat[r, : len(seq)] = seq.codes
-            banded_dev, ung_dev = pallas_dp.banded_scores_gathered(
+            stacked_dev = pallas_dp.banded_scores_gathered(
                 q_mat,
                 self._concat_device(),
                 table.read_id,
@@ -756,10 +757,10 @@ class BatchAligner:
                 tile=self.tile,
                 mesh=self.mesh,
                 use_pallas=on_tpu,
+                stacked=True,
             )
             return {
-                "banded_dev": banded_dev,
-                "ung_dev": ung_dev,
+                "stacked_dev": stacked_dev,
                 "host_ungapped": None,
                 "lane": lane,
                 "in_contig": in_contig,
@@ -836,11 +837,23 @@ class BatchAligner:
         """Materialize the device scores of a _dispatch_scores context:
         (ungapped, banded) float64 arrays per candidate row."""
         band = sctx["band"]
+        if "stacked_dev" in sctx:
+            # one fetch for both vectors; the copy was started at dispatch
+            # time (copy_to_host_async), so after pipelined host work this
+            # usually costs ~0 instead of a tunnel round trip per vector
+            out = np.asarray(sctx["stacked_dev"], dtype=np.float64)
+            k = sctx["num_cands"]
+            banded = out[0, :k]
+            ung = out[1, :k]
+            lane = sctx["lane"]
+            # the voted offset's diagonal is band lane (offset - window start)
+            lane_valid = (lane >= 0) & (lane < band)
+            ungapped = np.where(sctx["in_contig"] & lane_valid, ung, np.inf)
+            return ungapped, banded
         banded = np.asarray(sctx["banded_dev"], dtype=np.float64)
         if sctx["ung_dev"] is not None:
             ung = np.asarray(sctx["ung_dev"], dtype=np.float64)
             lane = sctx["lane"]
-            # the voted offset's diagonal is band lane (offset - window start)
             lane_valid = (lane >= 0) & (lane < band)
             ungapped = np.where(sctx["in_contig"] & lane_valid, ung, np.inf)
         else:
