@@ -21,7 +21,7 @@ import numpy as np
 
 BASELINE_JAVA_READS_PER_SECOND = 10_000.0
 
-NUM_READS = 4096
+NUM_READS = 8192
 READ_LENGTH = 150
 REFERENCE_SIZE = 1_000_000
 SNP_RATE = 0.01

@@ -491,18 +491,25 @@ class BatchAligner:
         if k == 0:
             return pens
         read_id = table.read_id[rows]
-        lengths = np.array([len(c) for c in seqs], dtype=np.int64)[read_id]
+        read_lengths = np.array([len(c) for c in seqs], dtype=np.int64)
+        read_starts = np.zeros(read_lengths.shape[0] + 1, dtype=np.int64)
+        np.cumsum(read_lengths, out=read_starts[1:])
+        codes_concat = (
+            np.concatenate([s.codes for s in seqs])
+            if seqs
+            else np.zeros(0, dtype=np.uint8)
+        )
+        lengths = read_lengths[read_id]
         seq_starts = self.seq_db.starts
         diag_start = seq_starts[table.ref_seq_index[rows]] + table.offset[rows]
+        reversed_rows = table.reversed_[rows]
         for n in np.unique(lengths).tolist():
             sel = np.nonzero(lengths == n)[0]
-            q = np.zeros((sel.shape[0], n), dtype=np.uint8)
-            for out_i, r in enumerate(rows[sel].tolist()):
-                seq = seqs[int(table.read_id[r])]
-                codes = seq.codes
-                if table.reversed_[r]:
-                    codes = basepairs.reverse_complement(codes)
-                q[out_i] = codes
+            q_idx = read_starts[read_id[sel]][:, None] + np.arange(n, dtype=np.int64)[None, :]
+            q = codes_concat[q_idx]
+            rev = reversed_rows[sel]
+            if np.any(rev):
+                q[rev] = basepairs.COMPLEMENT_TABLE[q[rev]][:, ::-1]
             d_idx = diag_start[sel][:, None] + np.arange(n, dtype=np.int64)[None, :]
             ref_diag = self.concat[d_idx]
             pens[sel] = np.sum(
