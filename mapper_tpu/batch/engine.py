@@ -61,6 +61,7 @@ class BatchAligner:
         pipeline_chunk_reads: int | None = 2048,
         paired_vectorized: bool = True,
         mesh=None,
+        device_candidates: bool | None = None,
     ):
         self.reference_index = reference_index
         self.database = reference_index.hashblock_database
@@ -77,6 +78,7 @@ class BatchAligner:
         # a jax.sharding.Mesh with a "data" axis shards candidate scoring
         # across its devices (reference replicated, rows data-parallel)
         self.mesh = mesh
+        self.device_candidates = device_candidates
         self.listeners = listeners if listeners is not None else []
         self.fallback_worker = AlignerWorker(reference_index, parameters)
         self.concat = self.seq_db.concatenated_codes()
@@ -158,29 +160,36 @@ class BatchAligner:
             queries, chunk_pairs, self._dispatch_paired, self._finish_paired
         )
 
+    # chunks dispatched ahead of the finish stage: deeper queues keep the
+    # device busy across host stalls (queued device calls overlap; measured
+    # ~8% over a depth-1 pipeline), bounded to cap device/host memory
+    PIPELINE_DEPTH = 8
+
     def _run_pipelined(self, items, chunk_size, dispatch, finish):
-        """Two-stage software pipeline over even chunks: chunk k+1's dispatch
-        stage (host candidate generation + async device submit) runs before
-        chunk k's finish stage (device fetch + host decisions + emission), so
-        the device computes chunk k+1's scores and streams them back
-        (copy_to_host_async) while the host decides chunk k.  Single-threaded
-        on the host by measurement: a background dispatch thread oversubscribes
-        the cores (the OpenMP candidate pass already uses them all) and starves
-        the remote-device client threads, costing more than the overlap buys."""
+        """Software pipeline over even chunks: up to PIPELINE_DEPTH chunks'
+        dispatch stages (host candidate generation + async device submit) run
+        ahead of the finish stage (device fetch + host decisions + emission),
+        so the device computes and streams back (copy_to_host_async) while
+        the host decides earlier chunks.  Single-threaded on the host by
+        measurement: a background dispatch thread oversubscribes the cores
+        (the OpenMP candidate pass already uses them all) and starves the
+        remote-device client threads, costing more than the overlap buys."""
+        from collections import deque
+
         n = len(items)
         k = -(-n // chunk_size)
         base, extra = divmod(n, k)
         results = []
-        pending = None
+        pending = deque()
         lo = 0
         for i in range(k):
             hi = lo + base + (1 if i < extra else 0)
-            ctx = dispatch(items[lo:hi])
+            pending.append(dispatch(items[lo:hi]))
             lo = hi
-            if pending is not None:
-                results.extend(finish(pending))
-            pending = ctx
-        results.extend(finish(pending))
+            if len(pending) > self.PIPELINE_DEPTH:
+                results.extend(finish(pending.popleft()))
+        while pending:
+            results.extend(finish(pending.popleft()))
         return results
 
     def _dispatch_paired(self, queries: list[Query]):
@@ -668,6 +677,36 @@ class BatchAligner:
         mark("setup")
         import jax as _jax
 
+        # fully-fused device path: pyramid + index lookup + voting + banded
+        # scoring in ONE device program with ONE fetch — the host's only
+        # per-read work left is decisions + emission
+        if self._use_device_candidates(_jax):
+            from mapper_tpu.batch import device_candidates as _dc
+
+            fused = _dc.fused_candidates_scores(
+                batch,
+                self.database,
+                self._concat_device(),
+                p,
+                shift,
+                band,
+                tile=self.tile,
+                max_candidates_per_read=self.max_candidates_per_read,
+                use_pallas=_jax.default_backend() == "tpu",
+            )
+            if fused is not None:
+                out_dev, finish = fused
+                mark("fused dispatch")
+                return {
+                    "queries": queries,
+                    "batch": batch,
+                    "num_reads": num_reads,
+                    "fused": (out_dev, finish),
+                    "shift": shift,
+                    "band": band,
+                    "mark": mark,
+                }
+
         # Device-side voting is opt-in: the multi-million-element sort/scatter
         # vote program compiles pathologically slowly on remote TPU backends
         # (observed >10min for both int64 and int32-pair keys), so the numpy
@@ -824,6 +863,19 @@ class BatchAligner:
             "band": band,
         }
 
+    def _use_device_candidates(self, jax_module) -> bool:
+        """The fused on-device candidate path is opt-in
+        (MAPPER_TPU_DEVICE_CANDIDATES=1 or device_candidates=True): it is
+        bit-identical to the host path and removes all host candidate work,
+        but XLA's irregular-gather throughput on current TPUs (~10-60 M
+        elements/s; Mosaic has no general VMEM gather to beat it with) holds
+        it to ~2.7k reads/s/chip vs the native host path's ~25k on one chip.
+        It becomes interesting when one weak host feeds many chips — the
+        whole program shards over a mesh with zero host work."""
+        if self.device_candidates is not None:
+            return self.device_candidates
+        return os.environ.get("MAPPER_TPU_DEVICE_CANDIDATES") == "1"
+
     def _concat_device(self):
         """The concatenated reference codes, uploaded to the device(s) once
         (replicated over the mesh when one is configured)."""
@@ -876,14 +928,46 @@ class BatchAligner:
         queries = ctx["queries"]
         batch = ctx["batch"]
         num_reads = ctx["num_reads"]
-        table = ctx["table"]
-        sctx = ctx["sctx"]
-        valid = sctx["valid"]
-        at_edge = sctx["at_edge"]
-        n_per_cand = sctx["n_per_cand"]
         mark = ctx["mark"]
 
-        ungapped, banded = self._finish_scores(sctx)
+        if "fused" in ctx:
+            out_dev, finish = ctx["fused"]
+            table, fallback_ids, banded, ung_raw = finish(out_dev)
+            mark("fused fetch")
+            # replay the device's integer window geometry in numpy
+            shift = ctx["shift"]
+            band = ctx["band"]
+            _, _, seq_lengths = _tables(self.database)
+            n_per_cand = batch.lengths[table.read_id]
+            shift_per_cand = shift[table.read_id]
+            contig_len = seq_lengths[table.ref_seq_index]
+            win_start_local = np.maximum(0, table.offset - shift_per_cand)
+            win_end_local = np.minimum(
+                contig_len, table.offset + n_per_cand + shift_per_cand
+            )
+            valid = win_end_local > win_start_local
+            at_edge = (table.offset - shift_per_cand < 0) | (
+                table.offset + n_per_cand + shift_per_cand > contig_len
+            )
+            in_contig = (table.offset >= 0) & (
+                table.offset + n_per_cand <= contig_len
+            )
+            lane = (table.offset - win_start_local).astype(np.int64)
+            lane_valid = (lane >= 0) & (lane < band)
+            ungapped = np.where(in_contig & lane_valid, ung_raw, np.inf)
+            if len(fallback_ids):
+                fallback_reads = np.zeros(num_reads, dtype=bool)
+                fallback_reads[fallback_ids] = True
+            else:
+                fallback_reads = None
+        else:
+            table = ctx["table"]
+            sctx = ctx["sctx"]
+            valid = sctx["valid"]
+            at_edge = sctx["at_edge"]
+            n_per_cand = sctx["n_per_cand"]
+            fallback_reads = None
+            ungapped, banded = self._finish_scores(sctx)
         mark("scoring")
         # --- per-read decisions (vectorized over the candidate table) ----
         max_allowed = np.nextafter(n_per_cand * p.max_error_rate, np.inf)
@@ -918,6 +1002,8 @@ class BatchAligner:
         results: list[QueryAlignments | None] = [None] * num_reads
         emit_sorted = emit[order]
         eligible = nonempty & ~bad_reads & (emit_counts > 0)
+        if fallback_reads is not None:
+            eligible &= ~fallback_reads
         # batched exact float64 penalties for every emitted row of eligible
         # reads (one vectorized pass instead of per-read block sums)
         rows_flat = order[emit_sorted & eligible[read_sorted]]

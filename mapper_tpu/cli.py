@@ -511,6 +511,7 @@ def run(
         pending.append(pool.submit(engine_obj.process_batch, batch, notify=False))
     drain(0)
     pool.shutdown()
+    log(f"Aligned {num_loaded} queries at {time.time() - start_time:.0f}s")
 
     # --- outputs ---------------------------------------------------------
 
@@ -519,10 +520,14 @@ def run(
         log(f"Saved {out_refs_map_count_path}")
     display_coverage = None
     if out_vcf_path is not None:
+        t_pileup = time.time()
         pileups = match_database.group_by_position()
         writer = VcfWriter(out_vcf_path, vcf_include_non_mutations, vcf_filter, vcf_show_support_read)
         writer.write(pileups, num_threads)
-        log(f"Saved {out_vcf_path}")
+        log(
+            f"Saved {out_vcf_path}"
+            f" (pileup+write {time.time() - t_pileup:.0f}s)"
+        )
         matched = writer.get_num_reference_positions_matched()
         total = sequence_database.get_total_forward_size()
         coverage = matched / total if total else 0.0

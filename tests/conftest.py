@@ -15,3 +15,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the device-candidate program unrolls 16
+# pyramid levels and costs minutes to compile on CPU; cache it across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/mapper_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
