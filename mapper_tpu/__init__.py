@@ -21,9 +21,30 @@ Public API (mirrors reference Api.java):
 import os as _os
 
 # Persistent compilation cache: TPU kernel compiles in this environment go
-# through a remote AOT service (~minutes); cache them on disk across processes.
+# through a remote AOT service (measured 30s-10min for the same program on
+# different minutes); cache the executables on disk across processes.  The
+# installed jax does not read JAX_COMPILATION_CACHE_DIR from the environment
+# (jax.config.jax_compilation_cache_dir stays None), so set the config
+# directly; respect an explicit env var / earlier jax.config.update.
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mapper_tpu_jax_cache")
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def _configure_jax_cache() -> None:
+    try:
+        import jax
+    except Exception:  # pragma: no cover - jax is a hard dependency in practice
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir", _os.environ["JAX_COMPILATION_CACHE_DIR"]
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - never block import on cache setup
+        pass
+
+
+_configure_jax_cache()
 
 from mapper_tpu.align.params import AlignmentParameters
 from mapper_tpu.api import Api, ReferenceIndex

@@ -26,7 +26,7 @@ from mapper_tpu import basepairs
 from mapper_tpu.sequence import Sequence
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class AlignedBlock:
     sequence_a: Sequence
     sequence_b: Sequence
@@ -96,6 +96,8 @@ def block_penalty_in_range(block: AlignedBlock, params, start_b: int, end_b: int
 
 
 class SequenceAlignment:
+    __slots__ = ("sections", "reference_reversed", "total_penalty", "aligned_penalty")
+
     def __init__(
         self,
         sections: list[AlignedBlock],
@@ -285,6 +287,15 @@ class QueryAlignment:
     """One alignment choice for a whole query (1 component, or 2 for
     paired-end)."""
 
+    __slots__ = (
+        "components",
+        "spacing_penalty",
+        "overlap_multiplier",
+        "duplication_bonus",
+        "total_penalty",
+        "inner_distance",
+    )
+
     def __init__(
         self,
         components: list[SequenceAlignment] | SequenceAlignment,
@@ -370,6 +381,8 @@ class QueryAlignments:
     """Per-component alignment choices for one query (QueryAlignments in the
     reference; statics singleChoice/singleComponent/unaligned per
     AlignerWorker.java:351,471,480)."""
+
+    __slots__ = ("query_sequences", "alignments_per_component")
 
     def __init__(self, query_sequences: list[Sequence], alignments_per_component: list[list[QueryAlignment]]):
         self.query_sequences = query_sequences

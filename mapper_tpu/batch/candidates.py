@@ -67,6 +67,16 @@ class CandidateTable:
     def __len__(self) -> int:
         return int(self.read_id.shape[0])
 
+    def take(self, rows: np.ndarray) -> "CandidateTable":
+        """Row subset (same column order)."""
+        return CandidateTable(
+            self.read_id[rows],
+            self.reversed_[rows],
+            self.ref_seq_index[rows],
+            self.offset[rows],
+            self.votes[rows],
+        )
+
 
 def collect_batch_seeds(
     batch: ReadBatch, database: HashBlockDatabase

@@ -92,21 +92,38 @@ class BatchAligner:
     ) -> list[QueryAlignments]:
         results: list[QueryAlignments | None] = [None] * len(queries)
 
-        batch_indices: list[int] = []
-        paired_indices: list[int] = []
-        fallback_indices: list[int] = []
-        for i, query in enumerate(queries):
-            clean = all(
-                len(s) <= self.max_query_length
-                and not bool(np.any(basepairs.is_ambiguous(s.codes)))
-                for s in query.get_sequences()
-            )
-            if query.get_num_sequences() == 1 and clean:
-                batch_indices.append(i)
-            elif query.get_num_sequences() == 2 and clean:
-                paired_indices.append(i)
+        # vectorized triage: one ambiguity pass over all component sequences
+        # (per-query numpy calls cost more than the checks themselves)
+        all_seqs = [s for q in queries for s in q.get_sequences()]
+        counts = np.fromiter(
+            (q.get_num_sequences() for q in queries), np.int64, count=len(queries)
+        )
+        if all_seqs:
+            lengths = np.fromiter((len(s) for s in all_seqs), np.int64, count=len(all_seqs))
+            codes = np.concatenate([s.codes for s in all_seqs])
+            amb = basepairs.POPCOUNT_TABLE[codes] != 1
+            starts = np.zeros(len(all_seqs) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=starts[1:])
+            if len(amb):
+                amb_counts = np.add.reduceat(amb, np.minimum(starts[:-1], len(amb) - 1))
+                amb_counts[lengths == 0] = 0
             else:
-                fallback_indices.append(i)
+                amb_counts = np.zeros(len(all_seqs), dtype=np.int64)
+            seq_clean = (lengths <= self.max_query_length) & (amb_counts == 0)
+            qstarts = np.zeros(len(queries) + 1, dtype=np.int64)
+            np.cumsum(counts, out=qstarts[1:])
+            clean_all = np.logical_and.reduceat(
+                np.append(seq_clean, True), np.minimum(qstarts[:-1], len(seq_clean))
+            )
+            clean_all[counts == 0] = True
+        else:
+            clean_all = np.ones(len(queries), dtype=bool)
+
+        batch_indices = np.nonzero((counts == 1) & clean_all)[0].tolist()
+        paired_indices = np.nonzero((counts == 2) & clean_all)[0].tolist()
+        fallback_indices = np.nonzero(~((counts <= 2) & (counts >= 1) & clean_all))[
+            0
+        ].tolist()
 
         if batch_indices:
             batch_queries = [queries[i] for i in batch_indices]
@@ -271,18 +288,31 @@ class BatchAligner:
             }
         inv = np.full(len(table), 0, dtype=np.int64)  # dead combos index row 0
         inv[used] = np.arange(used.shape[0])
-        subtable = CandidateTable(
-            table.read_id[used],
-            table.reversed_[used],
-            table.ref_seq_index[used],
-            table.offset[used],
-            table.votes[used],
-        )
+        subtable = table.take(used)
         combos["srow0"] = inv[combos["row0"]]
         combos["srow1"] = inv[combos["row1"]]
 
+        # host certificate, as in the single-end path: rows whose exact
+        # float64 ungapped penalty is within the straight short-circuit bound
+        # resolve on the host; only the rest ship to the device
         shift_per_component = np.minimum(np.repeat(max_indel_pair, 2), band // 2)
-        sctx = self._dispatch_scores(components, batch, subtable, shift_per_component, band)
+        geom = self._window_geometry(batch, subtable, shift_per_component)
+        u_used = np.full(len(subtable), np.inf)
+        ic_rows = np.nonzero(geom["in_contig"])[0]
+        if ic_rows.shape[0]:
+            u_used[ic_rows] = self._ungapped_penalties(components, subtable, ic_rows)
+        min_indel = min(
+            p.get_starting_insertion_start_penalty() + p.insertion_extension_penalty,
+            p.deletion_start_penalty + p.deletion_extension_penalty,
+        )
+        skip = geom["in_contig"] & ~geom["at_edge"] & (u_used <= min_indel)
+        dev_rows = np.nonzero(~skip)[0]
+        if dev_rows.shape[0]:
+            sctx = self._dispatch_scores(
+                components, batch, subtable.take(dev_rows), shift_per_component, band
+            )
+        else:
+            sctx = None
         return {
             "exact": False,
             "queries": queries,
@@ -290,6 +320,10 @@ class BatchAligner:
             "batch": batch,
             "table": table,
             "combos": combos,
+            "geom": geom,
+            "u_used": u_used,
+            "skip": skip,
+            "dev_rows": dev_rows,
             "sctx": sctx,
             "total_len": total_len,
             "certified_pair": certified_pair,
@@ -305,10 +339,18 @@ class BatchAligner:
                 )
                 for i in range(len(queries))
             ]
-        ungapped, banded = self._finish_scores(ctx["sctx"])
+        # certificate rows resolve to their exact host penalty; device rows
+        # fill from the compacted call
+        ungapped = np.where(ctx["skip"], ctx["u_used"], np.inf)
+        banded = ungapped.copy()
+        if ctx["sctx"] is not None:
+            d_ung, d_banded = self._finish_scores(ctx["sctx"])
+            ungapped[ctx["dev_rows"]] = d_ung
+            banded[ctx["dev_rows"]] = d_banded
         return self._paired_decisions(
             queries, ctx["components"], ctx["batch"], ctx["table"], ctx["combos"],
-            ctx["sctx"], ungapped, banded, ctx["total_len"], ctx["pre_defer"],
+            ctx["geom"], ctx["u_used"], ungapped, banded, ctx["total_len"],
+            ctx["pre_defer"],
         )
 
     def _paired_combos(self, queries, batch, table, order, bounds):
@@ -395,8 +437,8 @@ class BatchAligner:
         }
 
     def _paired_decisions(
-        self, queries, components, batch, table, combos, sctx, ungapped, banded,
-        total_len, pre_defer,
+        self, queries, components, batch, table, combos, geom, u_used, ungapped,
+        banded, total_len, pre_defer,
     ) -> list[QueryAlignments | None]:
         p = self.parameters
         num_pairs = len(queries)
@@ -406,7 +448,7 @@ class BatchAligner:
         spacing = combos["spacing"]
         alive = combos["alive"]
 
-        score = np.where(sctx["valid"], np.minimum(banded, ungapped), np.inf)
+        score = np.where(geom["valid"], np.minimum(banded, ungapped), np.inf)
         total = np.where(alive, score[srow0] + score[srow1] + spacing, np.inf)
         tl = total_len[pair_of].astype(np.float64)
         max_allowed = np.nextafter(tl * p.max_error_rate, np.inf)
@@ -432,7 +474,7 @@ class BatchAligner:
 
         # deferral to the exact per-pair path
         unclean_row = (
-            sctx["at_edge"] | ~sctx["in_contig"] | (banded < ungapped - EPS)
+            geom["at_edge"] | ~geom["in_contig"] | (banded < ungapped - EPS)
         )
         combo_defer = viable & (unclean_row[srow0] | unclean_row[srow1])
         defer = pre_defer.copy()
@@ -440,9 +482,10 @@ class BatchAligner:
         emit &= ~defer[pair_of]
         emit_counts = np.bincount(pair_of[emit], minlength=num_pairs)
 
-        # batched emission: exact float64 penalties for every emitted
-        # component in a handful of vectorized passes
-        pen0, pen1 = self._emitted_pair_penalties(components, table, combos, emit)
+        # exact float64 penalties for every emitted component: emitted combos'
+        # rows are in-contig (off-contig rows are unclean, deferring the pair),
+        # and the dispatch stage already computed their penalties
+        pen0, pen1 = u_used[srow0[emit]], u_used[srow1[emit]]
         exact_total = pen0 + pen1 + spacing[emit]
         emit_pair = pair_of[emit]
         # float64 recheck of the device-float32 accept (disagreement defers)
@@ -481,13 +524,6 @@ class BatchAligner:
                 queries[pi], components, table, combos, pi
             )
         return results
-
-    def _emitted_pair_penalties(self, components, table, combos, emit):
-        """Exact float64 ungapped penalties of the emitted combos' mates."""
-        rows = np.concatenate([combos["row0"][emit], combos["row1"][emit]])
-        pens = self._ungapped_penalties(components, table, rows)
-        half = rows.shape[0] // 2
-        return pens[:half], pens[half:]
 
     def _ungapped_penalties(self, seqs, table, rows):
         """Exact float64 full-length ungapped penalties at the voted offsets
@@ -735,16 +771,62 @@ class BatchAligner:
         if len(table) == 0:
             return [None] * num_reads
 
-        sctx = self._dispatch_scores(reads, batch, table, shift, band)
-        mark("dispatch")
+        # host certificate: the exact path's own short-circuit (dp.local_align
+        # / StraightAligner.java:26-56) returns the straight alignment for a
+        # confident voted offset whose exact float64 ungapped penalty is at
+        # most the cheapest possible indel penalty — no gapped search happens.
+        # Such candidate rows never need the banded kernel: their score IS the
+        # ungapped penalty, exactly as the sequential engine would decide.
+        # Only the remaining rows (possible indels, contig edges) go to the
+        # device, as a compacted subtable.
+        geom = self._window_geometry(batch, table, shift)
+        u_all = np.full(len(table), np.inf)
+        ic_rows = np.nonzero(geom["in_contig"])[0]
+        if ic_rows.shape[0]:
+            u_all[ic_rows] = self._ungapped_penalties(reads, table, ic_rows)
+        min_indel = min(
+            p.get_starting_insertion_start_penalty() + p.insertion_extension_penalty,
+            p.deletion_start_penalty + p.deletion_extension_penalty,
+        )
+        skip = geom["in_contig"] & ~geom["at_edge"] & (u_all <= min_indel)
+        dev_rows = np.nonzero(~skip)[0]
+        if dev_rows.shape[0]:
+            sctx = self._dispatch_scores(reads, batch, table.take(dev_rows), shift, band)
+        else:
+            sctx = None
+        mark(f"dispatch ({dev_rows.shape[0]}/{len(table)} dev rows)")
         return {
             "queries": queries,
             "batch": batch,
             "num_reads": num_reads,
             "table": table,
+            "geom": geom,
+            "u_all": u_all,
+            "skip": skip,
+            "dev_rows": dev_rows,
             "sctx": sctx,
             "band": band,
             "mark": mark,
+        }
+
+    def _window_geometry(self, batch, table, shift):
+        """Integer window geometry per candidate row (shared by the dispatch
+        certificate and the decision stage)."""
+        _, _, seq_lengths = _tables(self.database)
+        n_per_cand = batch.lengths[table.read_id]
+        shift_per_cand = shift[table.read_id]
+        contig_len = seq_lengths[table.ref_seq_index]
+        win_start_local = np.maximum(0, table.offset - shift_per_cand)
+        win_end_local = np.minimum(
+            contig_len, table.offset + n_per_cand + shift_per_cand
+        )
+        return {
+            "n_per_cand": n_per_cand,
+            "valid": win_end_local > win_start_local,
+            "at_edge": (table.offset - shift_per_cand < 0)
+            | (table.offset + n_per_cand + shift_per_cand > contig_len),
+            "in_contig": (table.offset >= 0)
+            & (table.offset + n_per_cand <= contig_len),
         }
 
     def _dispatch_scores(self, seqs, batch, table, shift, band):
@@ -960,14 +1042,23 @@ class BatchAligner:
                 fallback_reads[fallback_ids] = True
             else:
                 fallback_reads = None
+            pens_lookup = None
         else:
             table = ctx["table"]
-            sctx = ctx["sctx"]
-            valid = sctx["valid"]
-            at_edge = sctx["at_edge"]
-            n_per_cand = sctx["n_per_cand"]
+            geom = ctx["geom"]
+            valid = geom["valid"]
+            at_edge = geom["at_edge"]
+            n_per_cand = geom["n_per_cand"]
             fallback_reads = None
-            ungapped, banded = self._finish_scores(sctx)
+            pens_lookup = ctx["u_all"]
+            # certificate rows scored on host (score == exact ungapped, clean
+            # by construction); device rows filled from the compacted call
+            ungapped = np.where(ctx["skip"], pens_lookup, np.inf)
+            banded = ungapped.copy()
+            if ctx["sctx"] is not None:
+                d_ung, d_banded = self._finish_scores(ctx["sctx"])
+                ungapped[ctx["dev_rows"]] = d_ung
+                banded[ctx["dev_rows"]] = d_banded
         mark("scoring")
         # --- per-read decisions (vectorized over the candidate table) ----
         max_allowed = np.nextafter(n_per_cand * p.max_error_rate, np.inf)
@@ -1008,7 +1099,13 @@ class BatchAligner:
         # reads (one vectorized pass instead of per-read block sums)
         rows_flat = order[emit_sorted & eligible[read_sorted]]
         reads = [q.get_sequence(0) for q in queries]
-        pens_flat = self._ungapped_penalties(reads, table, rows_flat)
+        if pens_lookup is not None:
+            # eligible emitted rows are in-contig (off-contig rows have
+            # infinite ungapped, so emitting them flags the read bad), and the
+            # dispatch stage already computed their exact float64 penalties
+            pens_flat = pens_lookup[rows_flat]
+        else:
+            pens_flat = self._ungapped_penalties(reads, table, rows_flat)
         rid_flat = table.read_id[rows_flat]
         ebounds = np.searchsorted(rid_flat, np.arange(num_reads + 1))
 
