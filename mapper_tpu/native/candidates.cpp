@@ -83,8 +83,11 @@ struct Scratch {
   std::vector<Block> row, next;
   std::vector<uint32_t> pref_fwd, pref_comp;
   std::vector<Seed> seeds;
+  std::vector<int64_t> bins;
   std::vector<int64_t> votes;
   std::vector<Group> groups;
+  std::vector<int64_t> map_keys;
+  std::vector<int32_t> map_slot;
 };
 
 struct Out {
@@ -509,12 +512,29 @@ extern "C" int64_t mapper_generate_candidates(
       }
 
       // ---- lookup + votes ----
+      // the hash-table reads are random accesses into multi-MB arrays; a
+      // bin-precompute pass with software prefetch hides most of the misses
       scratch.votes.clear();
-      for (const Seed& sd : scratch.seeds) {
+      size_t num_seeds = scratch.seeds.size();
+      scratch.bins.resize(num_seeds);
+      for (size_t si = 0; si < num_seeds; si++) {
+        const Seed& sd = scratch.seeds[si];
         int64_t cap = capacities[sd.num_bp];
         int64_t rem = (int64_t)sd.key % cap;
         if (rem < 0) rem += cap;  // numpy floor-mod
         int64_t bin = bases[sd.num_bp] + rem;
+        scratch.bins[si] = bin;
+        __builtin_prefetch(&counts[bin]);
+        __builtin_prefetch(&offsets[bin]);
+      }
+      constexpr size_t AHEAD = 8;
+      for (size_t si = 0; si < num_seeds; si++) {
+        if (si + AHEAD < num_seeds) {
+          int64_t b2 = scratch.bins[si + AHEAD];
+          if (counts[b2] > 0) __builtin_prefetch(&values[offsets[b2]]);
+        }
+        const Seed& sd = scratch.seeds[si];
+        int64_t bin = scratch.bins[si];
         int64_t cnt = counts[bin];
         int64_t limit = std::min(caps[sd.num_bp], (int64_t)max_matches_per_seed);
         if (cnt <= 0 || cnt > limit) continue;
@@ -554,26 +574,39 @@ extern "C" int64_t mapper_generate_candidates(
       }
       if (scratch.votes.empty()) continue;
 
-      std::sort(scratch.votes.begin(), scratch.votes.end());
+      // group by key via a local open-addressed map (votes are heavily
+      // concentrated on the true offset, so distinct keys are few; this is
+      // O(n) where the previous sort+run-scan was O(n log n))
       scratch.groups.clear();
-      int64_t prev = scratch.votes[0];
-      int32_t run = 0;
+      size_t cap_pow2 = 64;
+      while (cap_pow2 < scratch.votes.size() * 2) cap_pow2 <<= 1;
+      scratch.map_keys.assign(cap_pow2, INT64_MIN);
+      scratch.map_slot.assign(cap_pow2, 0);
+      size_t mask = cap_pow2 - 1;
       for (int64_t v : scratch.votes) {
-        if (v == prev) {
-          run++;
-        } else {
-          scratch.groups.push_back({prev, run});
-          prev = v;
-          run = 1;
+        size_t h = (size_t)((uint64_t)v * 0x9e3779b97f4a7c15ull >> 40) & mask;
+        while (true) {
+          if (scratch.map_keys[h] == v) {
+            scratch.groups[scratch.map_slot[h]].votes++;
+            break;
+          }
+          if (scratch.map_keys[h] == INT64_MIN) {
+            scratch.map_keys[h] = v;
+            scratch.map_slot[h] = (int32_t)scratch.groups.size();
+            scratch.groups.push_back({v, 1});
+            break;
+          }
+          h = (h + 1) & mask;
         }
       }
-      scratch.groups.push_back({prev, run});
 
-      // per-read top-K by votes desc, ties keep key-ascending order
-      std::stable_sort(scratch.groups.begin(), scratch.groups.end(),
-                       [](const Group& a, const Group& b) {
-                         return a.votes > b.votes;
-                       });
+      // per-read top-K by votes desc, ties in key-ascending order (identical
+      // to the previous sort-runs + stable-sort-by-votes ordering)
+      std::sort(scratch.groups.begin(), scratch.groups.end(),
+                [](const Group& a, const Group& b) {
+                  if (a.votes != b.votes) return a.votes > b.votes;
+                  return a.key < b.key;
+                });
       int32_t top = scratch.groups[0].votes;
       int32_t emitted = 0;
       for (const Group& g : scratch.groups) {
