@@ -84,6 +84,7 @@ class BatchAligner:
         self.concat = self.seq_db.concatenated_codes()
         self.stats_fallback_reads = 0
         self.stats_batch_reads = 0
+        self._ref_cache: dict[int, tuple] = {}
 
     # ------------------------------------------------------------------
 
@@ -588,6 +589,14 @@ class BatchAligner:
         actual_inner = parts[1].get_start_index_b() - parts[0].get_end_index_b()
         return QueryAlignment(parts, spacing_penalty, 1.0, 0.0, total, actual_inner)
 
+    def _ref_and_original(self, ref_index: int):
+        cached = self._ref_cache.get(ref_index)
+        if cached is None:
+            ref = self.seq_db.get_sequence(ref_index)
+            cached = (ref, self.reference_index.get_original_sequence(ref))
+            self._ref_cache[ref_index] = cached
+        return cached
+
     def _make_ungapped_component(
         self, seq_a, ref_index: int, offset: int, penalty: float | None = None
     ):
@@ -595,10 +604,9 @@ class BatchAligner:
         offset (with the ancestral->original rewrite), or None off-contig.
         `penalty` short-circuits the per-base sum when precomputed (it must
         equal blocks.block_penalty's value bit-for-bit)."""
-        ref = self.seq_db.get_sequence(ref_index)
+        ref, original = self._ref_and_original(ref_index)
         if offset < 0 or offset + len(seq_a) > len(ref):
             return None
-        original = self.reference_index.get_original_sequence(ref)
         if original is not ref:
             block = AlignedBlock(
                 seq_a, original, 0, offset, len(seq_a), len(seq_a),
@@ -1107,27 +1115,36 @@ class BatchAligner:
         else:
             pens_flat = self._ungapped_penalties(reads, table, rows_flat)
         rid_flat = table.read_id[rows_flat]
-        ebounds = np.searchsorted(rid_flat, np.arange(num_reads + 1))
+        ebounds = np.searchsorted(rid_flat, np.arange(num_reads + 1)).tolist()
+
+        # plain-Python views of the per-row columns (numpy scalar extraction
+        # in the loop costs more than the loop body)
+        pens_list = pens_flat.tolist()
+        rev_list = table.reversed_[rows_flat].tolist()
+        seqidx_list = table.ref_seq_index[rows_flat].tolist()
+        off_list = table.offset[rows_flat].tolist()
+        allowed_list = read_max_allowed.tolist()
+        counts_list = emit_counts.tolist()
+        max_num_matches = p.max_num_matches
 
         for r in np.nonzero(eligible)[0].tolist():
             query = queries[r]
-            if emit_counts[r] > p.max_num_matches:
+            if counts_list[r] > max_num_matches:
                 results[r] = QueryAlignments.unaligned(query.get_sequences())
                 continue
             seq = reads[r]
-            max_allowed_r = np.nextafter(len(seq) * p.max_error_rate, np.inf)
+            max_allowed_r = allowed_list[r]
             choices = []
             ok = True
-            for c in range(int(ebounds[r]), int(ebounds[r + 1])):
-                row = int(rows_flat[c])
-                pen = float(pens_flat[c])
+            for c in range(ebounds[r], ebounds[r + 1]):
+                pen = pens_list[c]
                 # float64 recheck of the device-float32 accept
                 if pen > max_allowed_r:
                     ok = False
                     break
-                seq_a = seq.reverse_complement() if table.reversed_[row] else seq
+                seq_a = seq.reverse_complement() if rev_list[c] else seq
                 alignment = self._make_ungapped_component(
-                    seq_a, int(table.ref_seq_index[row]), int(table.offset[row]), pen
+                    seq_a, seqidx_list[c], off_list[c], pen
                 )
                 if alignment is None:
                     ok = False
@@ -1135,15 +1152,17 @@ class BatchAligner:
                 choices.append(QueryAlignment(alignment))
             if not ok:
                 continue
-            # dedup identical choices (different vote buckets, same placement)
-            seen = set()
-            unique = []
-            for choice in choices:
-                key = choice.content_key()
-                if key not in seen:
-                    seen.add(key)
-                    unique.append(choice)
-            results[r] = QueryAlignments.single_component(query.get_sequences(), unique)
+            if len(choices) > 1:
+                # dedup identical choices (different vote buckets, same placement)
+                seen = set()
+                unique = []
+                for choice in choices:
+                    key = choice.content_key()
+                    if key not in seen:
+                        seen.add(key)
+                        unique.append(choice)
+                choices = unique
+            results[r] = QueryAlignments.single_component(query.get_sequences(), choices)
         mark("decisions+emit")
         return results
 
