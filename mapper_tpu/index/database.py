@@ -243,27 +243,25 @@ class HashBlockDatabase:
             if os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
                 from mapper_tpu import native
 
-                collected = native.native_collect_blocks(
-                    codes, self.min_interesting_size, lo, hi
+                # fused parallel collect+emit: the C++ side walks the pyramid
+                # in overlapping windows (the reference's 50 kb HashJob model,
+                # HashBlock_Database.java:218-235) and returns the
+                # dual-polarity inserts already grouped by size; PackedIndex
+                # canonicalizes (bin, position) order, so this is
+                # bit-identical to the sequential collect+_emit path
+                emitted = native.native_collect_emit(
+                    codes, self.min_interesting_size, lo, hi, seq_start, rc_start
                 )
-                if collected is not None:
-                    num_bp, fwd, rev, primary, secondary, start, length = collected
-                    if num_bp.shape[0]:
-                        self._emit(
-                            num_bp,
-                            fwd,
-                            rev,
-                            primary,
-                            secondary,
-                            start,
-                            length,
-                            np.zeros(num_bp.shape[0], dtype=bool),
-                            seq_start,
-                            rc_start,
-                            n,
-                            by_size_keys,
-                            by_size_positions,
-                            by_size_amb,
+                if emitted is not None:
+                    size_counts, keys, positions = emitted
+                    bounds = np.zeros(size_counts.shape[0] + 1, dtype=np.int64)
+                    np.cumsum(size_counts, out=bounds[1:])
+                    for size in np.nonzero(size_counts)[0].tolist():
+                        sl = slice(bounds[size], bounds[size + 1])
+                        by_size_keys.setdefault(size, []).append(keys[sl])
+                        by_size_positions.setdefault(size, []).append(positions[sl])
+                        by_size_amb.setdefault(size, []).append(
+                            np.zeros(int(size_counts[size]), dtype=bool)
                         )
                     return
         if not has_ambiguity:

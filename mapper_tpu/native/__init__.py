@@ -121,6 +121,12 @@ def get_candidates_library():
                 p_u8, i64, i32, i32, i32,
                 p_i32, p_i32, p_i32, p_u8, p_u8, p_i64, p_i32, i64,
             ]
+            lib.mapper_collect_emit.restype = i64
+            lib.mapper_collect_emit.argtypes = [
+                p_u8, i64, i32, i32, i32,  # codes, n, min_interesting, lo, hi
+                i64, i64, i64, i64,        # seq_start, rc_start, window, pad
+                p_i32, p_i32, p_i64, p_i64, i64,  # sizes, keys, pos, size_counts, max_out
+            ]
             lib.mapper_generate_candidates.restype = i64
             lib.mapper_generate_candidates.argtypes = [
                 p_u8, p_i64, i64,          # codes, read_starts, num_reads
@@ -346,6 +352,59 @@ def native_collect_blocks(
         out_start[:k],
         out_length[:k],
     )
+
+
+def native_collect_emit(
+    codes: np.ndarray,
+    min_interesting: int,
+    lo: int,
+    hi: int,
+    seq_start: int,
+    rc_start: int,
+    window: int = 1 << 16,
+    pad: int = 4096,
+):
+    """Parallel fused collect+emit for one non-ambiguous sequence: the
+    dual-polarity (key, encoded position) index inserts, grouped by block
+    size.  Returns (size_counts int64[hi+1], keys int32[k], positions
+    int64[k]) with rows ordered size-major, or None when the library is
+    unavailable / the sequence has ambiguity codes."""
+    lib = get_candidates_library()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    cap = 2 * n + 4096  # measured ~1.2 rows/base; retries double on overflow
+    while True:
+        out_sizes = np.empty(cap, dtype=np.int32)
+        out_keys = np.empty(cap, dtype=np.int32)
+        out_pos = np.empty(cap, dtype=np.int64)
+        out_counts = np.zeros(hi + 1, dtype=np.int64)
+        k = lib.mapper_collect_emit(
+            codes.ctypes.data_as(p_u8),
+            n,
+            min_interesting,
+            lo,
+            hi,
+            seq_start,
+            rc_start,
+            window,
+            pad,
+            out_sizes.ctypes.data_as(p_i32),
+            out_keys.ctypes.data_as(p_i32),
+            out_pos.ctypes.data_as(p_i64),
+            out_counts.ctypes.data_as(p_i64),
+            cap,
+        )
+        if k == -1:
+            cap *= 2
+            continue
+        if k < 0:
+            return None
+        return out_counts, out_keys[:k], out_pos[:k]
 
 
 def native_dp_align(

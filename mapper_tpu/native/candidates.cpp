@@ -647,3 +647,322 @@ extern "C" int64_t mapper_generate_candidates(
   }
   return total;
 }
+
+// ---------------------------------------------------------------------------
+// Fused parallel collect+emit for the index build.
+//
+// The reference hashes the reference genome in 50 kb jobs, each walking a
+// fresh pyramid and keeping only blocks whose START falls in the job range
+// (HashBlock_Database.split_hashJobs / hashSequenceThroughSize,
+// HashBlock_Buffer.addHashblock): a pyramid block starting at position p is
+// fully determined by the sequence content from p rightward (parent blocks
+// merge a child with the NEXT child after it), which is what makes job-local
+// pyramids exact.  Here each window walks the pyramid over a right-padded
+// buffer and tracks a truncation frontier: the leftmost position whose blocks
+// could differ from the global pyramid because the buffer ends.  If the
+// frontier reaches the window core while interesting block sizes are still
+// live, the window retries with a doubled pad (never happens on genomic data
+// with the default 4 kb pad).
+//
+// Output rows are the dual-polarity (size, key, encoded position) inserts of
+// index/database.py::_emit (PackedMap.process, java:99-122), grouped by size
+// with a counting sort.  PackedIndex.build lexsorts (bin, position), so
+// multiset equality per size gives a bit-identical index.
+
+namespace {
+
+inline Block merge_blocks(const Block& L, const Block& R) {
+  Block b;
+  b.start = L.start;
+  b.length = R.start + R.length - L.start;
+  b.fwd = merge_hashes(L.length, L.fwd, R.length, R.fwd);
+  b.rev = merge_hashes(R.length, R.rev, L.length, L.rev);
+
+  bool anchor_exists = L.fwd != R.rev;
+  bool anchor_is_right = L.fwd > R.rev;
+  bool asym = anchor_exists && (b.fwd != b.rev);
+  bool is_reverse = b.fwd < b.rev;
+  bool invert = (is_reverse == anchor_is_right);
+
+  bool a_nl = anchor_is_right ? R.next_l : L.next_l;
+  bool a_nr = anchor_is_right ? R.next_r : L.next_r;
+  if (a_nl && a_nr) {
+    if (anchor_is_right) a_nr = false; else a_nl = false;
+  }
+  bool o_nl = anchor_is_right ? L.next_l : R.next_l;
+  bool o_nr = anchor_is_right ? L.next_r : R.next_r;
+  if (o_nl && o_nr) {
+    if (!anchor_is_right) o_nl = false; else o_nr = false;
+  }
+
+  bool req_l = true, req_r = true, next_l = true, next_r = true;
+  if (asym) {
+    req_l = a_nl != invert;
+    req_r = a_nr != invert;
+    next_l = o_nl != invert;
+    next_r = o_nr != invert;
+  }
+  if (L.length != R.length) {
+    bool lg = L.length > R.length;
+    req_l = lg; req_r = !lg; next_l = !lg; next_r = lg;
+  }
+  if (b.fwd != b.rev) {
+    if (req_l && req_r) { req_l = b.fwd > b.rev; req_r = !req_l; }
+    if (next_l && next_r) { next_l = req_l; next_r = !req_l; }
+  }
+  b.req_l = req_l; b.req_r = req_r; b.next_l = next_l; b.next_r = next_r;
+
+  if (req_l != req_r) b.gap_dir = req_l ? 1 : -1;
+  else if (anchor_exists) b.gap_dir = anchor_is_right ? 1 : -1;
+  else b.gap_dir = 0;
+
+  int64_t extra_raw = (int64_t)L.length + R.length - b.length;
+  b.extra = (int32_t)(extra_raw / 4);  // trunc toward zero, as in Java
+  return b;
+}
+
+struct EmitRows {
+  std::vector<int32_t> sizes;
+  std::vector<int32_t> keys;
+  std::vector<int64_t> pos;
+  void push(int32_t s, int32_t k, int64_t p) {
+    sizes.push_back(s);
+    keys.push_back(k);
+    pos.push_back(p);
+  }
+};
+
+// Walk one window's pyramid and append its core emissions.  Returns 0 on
+// success, 1 when the buffer pad proved too small (caller retries), -2 on
+// ambiguity (caller falls back to the numpy path).
+int walk_window_emit(const uint8_t* codes, int64_t n, int64_t buf_lo,
+                     int64_t buf_hi, int64_t core_lo, int64_t core_hi,
+                     int32_t min_interesting, int32_t lo, int32_t hi,
+                     int64_t seq_start, int64_t rc_start, EmitRows& out) {
+  int64_t len = buf_hi - buf_lo;
+  if (len <= 0) return 0;
+  bool truncated = buf_hi < n;
+
+  std::vector<uint32_t> pow_b(len + 2), inv_pow_b(len + 2);
+  pow_b[0] = 1;
+  inv_pow_b[0] = 1;
+  for (int64_t i = 1; i <= len + 1; i++) {
+    pow_b[i] = pow_b[i - 1] * GAPMER_MULTIPLIER;
+    inv_pow_b[i] = inv_pow_b[i - 1] * GAPMER_MULTIPLIER_INV;
+  }
+  std::vector<uint32_t> pref_fwd(len + 1), pref_comp(len + 1);
+  pref_fwd[0] = 0;
+  pref_comp[0] = 0;
+  for (int64_t i = 0; i < len; i++) {
+    uint8_t c = codes[buf_lo + i];
+    if (TWO_BIT[c] < 0) return -2;
+    pref_fwd[i + 1] = pref_fwd[i] + (uint32_t)GAP_VAL[c] * pow_b[i];
+    pref_comp[i + 1] = pref_comp[i] + (uint32_t)GAP_VAL_COMP[c] * inv_pow_b[i];
+  }
+
+  std::vector<Block> row(len), next;
+  for (int64_t i = 0; i < len; i++) {
+    int8_t v = TWO_BIT[codes[buf_lo + i]];
+    Block& b = row[i];
+    b.start = (int32_t)i;
+    b.length = 1;
+    b.fwd = v;
+    b.rev = 3 - v;
+    b.extra = 0;
+    b.gap_dir = 0;
+    b.req_l = v < 2;
+    b.req_r = v >= 2;
+    b.next_l = (v & 1) == 0;
+    b.next_r = (v & 1) == 1;
+  }
+
+  // truncation frontier: block starts at/after this local position may
+  // disagree with the global pyramid (base row is always exact)
+  int64_t frontier = truncated ? len : INT64_MAX;
+  int64_t core_lo_local = core_lo - buf_lo;
+  int64_t core_hi_local = core_hi - buf_lo;
+
+  while (true) {
+    if (row.empty()) break;
+    int32_t row_min_len = INT32_MAX, row_max_len = 0;
+    for (const Block& b : row) {
+      row_min_len = std::min(row_min_len, b.length);
+      row_max_len = std::max(row_max_len, b.length);
+    }
+    if (row_min_len > hi) break;
+
+    if (max_gapmer_num_bp(row_max_len) >= min_interesting) {
+      for (const Block& b : row) {
+        if (b.start < core_lo_local || b.start >= core_hi_local) continue;
+        if ((int64_t)b.start >= frontier) return 1;  // core contaminated
+
+        int32_t m = std::max(b.fwd, b.rev);
+        int32_t abs_m = wrap32((uint64_t)(m < 0 ? -(int64_t)m : (int64_t)m));
+        int32_t rem = abs_m % 3;
+        int64_t target_extra = (int64_t)b.length + rem + b.extra;
+        int64_t gap = b.length / 2;
+        int64_t ext_len = target_extra - gap;
+
+        int64_t g_start, g_len, g_num_bp;
+        int32_t g_fwd, g_rev;
+        bool is_self = b.gap_dir == 0;
+        if (is_self) {
+          g_start = b.start;
+          g_len = b.length;
+          g_num_bp = b.length;
+          g_fwd = b.fwd;
+          g_rev = b.rev;
+        } else {
+          int64_t ext_start, ext_end;
+          if (b.gap_dir < 0) {
+            ext_end = (int64_t)b.start - gap;
+            ext_start = ext_end - ext_len;
+            // bounds are the true sequence bounds, not the buffer's
+            if (buf_lo + ext_start < 0) continue;
+            if (ext_start < 0) return 1;  // pad too small on the left
+            g_start = ext_start;
+          } else {
+            ext_start = (int64_t)b.start + b.length + gap;
+            ext_end = ext_start + ext_len;
+            if (buf_lo + ext_end > n) continue;
+            if (ext_end > len) return 1;  // pad too small on the right
+            g_start = b.start;
+          }
+          int64_t cs = std::min(std::max(ext_start, (int64_t)0), len);
+          int64_t ce = std::min(std::max(ext_end, (int64_t)0), len);
+          uint32_t ext_hash;
+          if (b.gap_dir < 0) {
+            ext_hash = (pref_fwd[ce] - pref_fwd[cs]) * inv_pow_b[cs];
+          } else {
+            int64_t e1 = std::max(ce, (int64_t)1) - 1;
+            ext_hash = (pref_comp[ce] - pref_comp[cs]) * pow_b[e1];
+          }
+          g_fwd = wrap32((uint64_t)((int64_t)b.fwd + (int32_t)ext_hash));
+          g_rev = wrap32((uint64_t)((int64_t)b.rev + (int32_t)ext_hash));
+          g_len = b.length + gap + ext_len;
+          g_num_bp = b.length + ext_len;
+        }
+
+        if (g_num_bp < min_interesting || g_num_bp <= lo || g_num_bp > hi)
+          continue;
+
+        bool primary, secondary;
+        if (is_self && (b.req_l != b.req_r)) {
+          primary = b.req_l;
+          secondary = b.req_r;
+        } else {
+          primary = g_fwd >= g_rev;
+          secondary = g_fwd <= g_rev;
+        }
+        int64_t gg_start = buf_lo + g_start;  // global coordinates
+        if (primary) out.push((int32_t)g_num_bp, g_fwd, seq_start + gg_start);
+        if (secondary)
+          out.push((int32_t)g_num_bp, g_rev, rc_start + n - (gg_start + g_len));
+      }
+    }
+
+    if (row.size() < 2) break;
+    next.clear();
+    int64_t new_frontier = frontier;
+    if (truncated) {
+      // the last block whose span stays clear of the frontier is the last
+      // one whose merge partner is trustworthy; everything from its start
+      // onward is suspect at the next level
+      new_frontier = 0;
+      for (const Block& b : row) {
+        if ((int64_t)b.start + b.length <= frontier) {
+          new_frontier = b.start;
+        } else {
+          break;
+        }
+      }
+    }
+    for (size_t i = 0; i + 1 < row.size(); i++) {
+      const Block& L = row[i];
+      const Block& R = row[i + 1];
+      if (!(L.start + L.length >= R.start && (L.req_r || R.req_l))) continue;
+      next.push_back(merge_blocks(L, R));
+    }
+    row.swap(next);
+    frontier = new_frontier;
+    if (truncated && frontier <= core_hi_local && !row.empty()) {
+      int32_t live_min = INT32_MAX;
+      for (const Block& b : row) live_min = std::min(live_min, b.length);
+      if (live_min <= hi) return 1;  // still emitting, core contaminated
+      break;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+// Parallel fused collect+emit over one non-ambiguous sequence.  Returns the
+// total number of rows written (grouped by size: out_size_counts[s] rows of
+// size s, in ascending-size order), -1 when max_out is too small, -2 on
+// ambiguity.
+extern "C" int64_t mapper_collect_emit(
+    const uint8_t* codes, int64_t n, int32_t min_interesting, int32_t lo,
+    int32_t hi, int64_t seq_start, int64_t rc_start, int64_t window,
+    int64_t pad, int32_t* out_sizes, int32_t* out_keys, int64_t* out_pos,
+    int64_t* out_size_counts, int64_t max_out) {
+  if (n <= 0) {
+    for (int32_t s = 0; s <= hi; s++) out_size_counts[s] = 0;
+    return 0;
+  }
+  if (window < 4096) window = 4096;
+  int64_t num_windows = (n + window - 1) / window;
+  std::vector<EmitRows> rows((size_t)num_windows);
+  std::vector<int> status((size_t)num_windows, 0);
+
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t w = 0; w < num_windows; w++) {
+    int64_t core_lo = w * window;
+    int64_t core_hi = std::min(n, core_lo + window);
+    int64_t this_pad = pad;
+    while (true) {
+      rows[w].sizes.clear();
+      rows[w].keys.clear();
+      rows[w].pos.clear();
+      int64_t buf_lo = std::max((int64_t)0, core_lo - this_pad);
+      int64_t buf_hi = std::min(n, core_hi + this_pad);
+      int rc = walk_window_emit(codes, n, buf_lo, buf_hi, core_lo, core_hi,
+                                min_interesting, lo, hi, seq_start, rc_start,
+                                rows[w]);
+      if (rc == 1 && buf_hi - buf_lo < n) {
+        this_pad *= 4;
+        continue;
+      }
+      status[w] = rc == 1 ? 0 : rc;  // rc==1 with full buffer cannot happen
+      break;
+    }
+  }
+  for (int64_t w = 0; w < num_windows; w++)
+    if (status[w] == -2) return -2;
+
+  // counting-sort assembly: size-major, window order within a size
+  std::vector<int64_t> counts((size_t)hi + 1, 0);
+  int64_t total = 0;
+  for (int64_t w = 0; w < num_windows; w++) {
+    total += (int64_t)rows[w].sizes.size();
+    for (int32_t s : rows[w].sizes) counts[s]++;
+  }
+  if (total > max_out) return -1;
+  std::vector<int64_t> size_base((size_t)hi + 2, 0);
+  for (int32_t s = 0; s <= hi; s++) {
+    size_base[s + 1] = size_base[s] + counts[s];
+    out_size_counts[s] = counts[s];
+  }
+  std::vector<int64_t> cursor(size_base.begin(), size_base.end() - 1);
+  for (int64_t w = 0; w < num_windows; w++) {
+    const EmitRows& r = rows[w];
+    for (size_t i = 0; i < r.sizes.size(); i++) {
+      int32_t s = r.sizes[i];
+      int64_t at = cursor[s]++;
+      out_sizes[at] = s;
+      out_keys[at] = r.keys[i];
+      out_pos[at] = r.pos[i];
+    }
+  }
+  return total;
+}

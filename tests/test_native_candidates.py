@@ -126,3 +126,65 @@ def test_native_format_rows_non_ascii():
     if text is None:
         pytest.skip("native textrows library unavailable")
     assert text == "contig·µ\t5\tA\t1\ncontig·µ\t17\tGé\t2\n"
+
+
+def test_native_collect_emit_windowed_identical():
+    """The OMP-windowed fused collect+emit produces the identical row multiset
+    to a single-window walk and to collect_blocks + the _emit math, on
+    structures chosen to stress window boundaries (tandem repeats,
+    homopolymers, long-period repeats)."""
+    from mapper_tpu import basepairs
+    from mapper_tpu.native import native_collect_blocks, native_collect_emit
+
+    def rows_multiset(counts, keys, pos):
+        sizes = np.repeat(np.arange(counts.shape[0]), counts)
+        order = np.lexsort((pos, keys, sizes))
+        return (
+            sizes[order].astype(np.int64),
+            keys[order].astype(np.int64),
+            pos[order],
+        )
+
+    rng = np.random.default_rng(42)
+    bases = np.array(list("ACGT"))
+
+    def random_text(n):
+        return "".join(rng.choice(bases, size=n))
+
+    structures = {
+        "random": random_text(120_000),
+        "tandem": "ACGTACGTGG" * 5000 + random_text(20_000),
+        "homopolymer": random_text(20_000) + "A" * 6000 + random_text(20_000),
+        "period1k": random_text(1000) * 40 + random_text(10_000),
+    }
+    for name, text in structures.items():
+        codes = basepairs.encode(text)
+        n = len(codes)
+        single = native_collect_emit(codes, 9, 0, 42, 10_000, 900_000, window=10**9)
+        if single is None:
+            pytest.skip("native candidates library unavailable")
+        multi = native_collect_emit(
+            codes, 9, 0, 42, 10_000, 900_000, window=16384, pad=4096
+        )
+        tiny = native_collect_emit(
+            codes, 9, 0, 42, 10_000, 900_000, window=8192, pad=512
+        )
+        a = rows_multiset(*single)
+        for label, other in (("multi", multi), ("tiny", tiny)):
+            b = rows_multiset(*other)
+            for x, y in zip(a, b):
+                assert np.array_equal(x, y), (name, label)
+        collected = native_collect_blocks(codes, 9, 0, 42)
+        num_bp, fwd, rev, primary, secondary, start, length = collected
+        sizes_ref = np.concatenate([num_bp[primary], num_bp[secondary]]).astype(np.int64)
+        keys_ref = np.concatenate([fwd[primary], rev[secondary]]).astype(np.int64)
+        pos_ref = np.concatenate(
+            [
+                10_000 + start[primary],
+                900_000 + n - (start[secondary] + length[secondary]),
+            ]
+        )
+        order = np.lexsort((pos_ref, keys_ref, sizes_ref))
+        ref = (sizes_ref[order], keys_ref[order], pos_ref[order])
+        for x, y in zip(a, ref):
+            assert np.array_equal(x, y), (name, "vs collect_blocks")
