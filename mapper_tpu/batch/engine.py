@@ -549,8 +549,31 @@ class BatchAligner:
         seq_starts = self.seq_db.starts
         diag_start = seq_starts[table.ref_seq_index[rows]] + table.offset[rows]
         reversed_rows = table.reversed_[rows]
-        for n in np.unique(lengths).tolist():
-            sel = np.nonzero(lengths == n)[0]
+
+        # native fast path: for pure-ACGT rows the penalty is an exact
+        # integer multiple of mutation_penalty, bit-equal to numpy's pairwise
+        # sum whenever mutation_penalty is integer-valued
+        todo = None
+        snp = self.parameters.mutation_penalty
+        if float(snp).is_integer() and os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
+            from mapper_tpu import native
+
+            out = native.native_ungapped_counts(
+                codes_concat, read_starts, read_id, reversed_rows, diag_start,
+                self.concat,
+            )
+            if out is not None:
+                counts, clean = out
+                pens[clean] = counts[clean].astype(np.float64) * snp
+                todo = np.nonzero(~clean)[0]
+                if todo.shape[0] == 0:
+                    return pens
+
+        for n in np.unique(lengths if todo is None else lengths[todo]).tolist():
+            if todo is None:
+                sel = np.nonzero(lengths == n)[0]
+            else:
+                sel = todo[lengths[todo] == n]
             q_idx = read_starts[read_id[sel]][:, None] + np.arange(n, dtype=np.int64)[None, :]
             q = codes_concat[q_idx]
             rev = reversed_rows[sel]

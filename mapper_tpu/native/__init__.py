@@ -127,6 +127,13 @@ def get_candidates_library():
                 i64, i64, i64, i64,        # seq_start, rc_start, window, pad
                 p_i32, p_i32, p_i64, p_i64, i64,  # sizes, keys, pos, size_counts, max_out
             ]
+            lib.mapper_ungapped_counts.restype = None
+            lib.mapper_ungapped_counts.argtypes = [
+                p_u8, p_i64,               # read codes concat, read starts
+                p_i32, p_u8, p_i64, i64,   # row read id, reversed, diag start, k
+                p_u8,                      # ref concat
+                p_i32, p_u8,               # out counts, out clean
+            ]
             lib.mapper_generate_candidates.restype = i64
             lib.mapper_generate_candidates.argtypes = [
                 p_u8, p_i64, i64,          # codes, read_starts, num_reads
@@ -405,6 +412,47 @@ def native_collect_emit(
         if k < 0:
             return None
         return out_counts, out_keys[:k], out_pos[:k]
+
+
+def native_ungapped_counts(
+    read_codes: np.ndarray,
+    read_starts: np.ndarray,
+    row_read_id: np.ndarray,
+    row_reversed: np.ndarray,
+    row_diag_start: np.ndarray,
+    ref_concat: np.ndarray,
+):
+    """Exact ungapped mismatch counts per candidate row.  Returns (counts
+    int32[k], clean bool[k]) where clean marks rows whose read and reference
+    diagonal are pure ACGT (for those, penalty == counts * mutation_penalty
+    exactly), or None when the library is unavailable."""
+    lib = get_candidates_library()
+    if lib is None:
+        return None
+    k = int(np.asarray(row_read_id).shape[0])
+    read_codes = np.ascontiguousarray(read_codes, dtype=np.uint8)
+    read_starts = np.ascontiguousarray(read_starts, dtype=np.int64)
+    row_read_id = np.ascontiguousarray(row_read_id, dtype=np.int32)
+    row_reversed = np.ascontiguousarray(row_reversed, dtype=np.uint8)
+    row_diag_start = np.ascontiguousarray(row_diag_start, dtype=np.int64)
+    ref_concat = np.ascontiguousarray(ref_concat, dtype=np.uint8)
+    out_counts = np.empty(k, dtype=np.int32)
+    out_clean = np.empty(k, dtype=np.uint8)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.mapper_ungapped_counts(
+        read_codes.ctypes.data_as(p_u8),
+        read_starts.ctypes.data_as(p_i64),
+        row_read_id.ctypes.data_as(p_i32),
+        row_reversed.ctypes.data_as(p_u8),
+        row_diag_start.ctypes.data_as(p_i64),
+        k,
+        ref_concat.ctypes.data_as(p_u8),
+        out_counts.ctypes.data_as(p_i32),
+        out_clean.ctypes.data_as(p_u8),
+    )
+    return out_counts, out_clean.astype(bool)
 
 
 def native_dp_align(

@@ -966,3 +966,54 @@ extern "C" int64_t mapper_collect_emit(
   }
   return total;
 }
+
+// ---------------------------------------------------------------------------
+// Exact ungapped mismatch counts for candidate rows (the host certificate's
+// penalty pass).  For rows where both the read and the reference diagonal are
+// pure ACGT, the exact float64 ungapped penalty is (#mismatches) *
+// mutation_penalty — an exact integer multiple, equal bit-for-bit to numpy's
+// pairwise sum of the per-base penalties whenever mutation_penalty is
+// integer-valued (the caller checks that and falls back to the numpy path
+// otherwise, as it does for rows flagged not-clean here).
+
+namespace {
+// nibble complement (A<->T, C<->G, ambiguity codes bit-reversed)
+const uint8_t NIBBLE_COMP[16] = {0, 8, 4, 12, 2, 10, 6, 14,
+                                 1, 9, 5, 13, 3, 11, 7, 15};
+const bool IS_ACGT[16] = {false, true,  true,  false, true,  false, false,
+                          false, true,  false, false, false, false, false,
+                          false, false};
+}  // namespace
+
+extern "C" void mapper_ungapped_counts(
+    const uint8_t* read_codes, const int64_t* read_starts,
+    const int32_t* row_read_id, const uint8_t* row_reversed,
+    const int64_t* row_diag_start, int64_t k, const uint8_t* ref_concat,
+    int32_t* out_counts, uint8_t* out_clean) {
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < k; r++) {
+    int64_t rs = read_starts[row_read_id[r]];
+    int64_t len = read_starts[row_read_id[r] + 1] - rs;
+    const uint8_t* q = read_codes + rs;
+    const uint8_t* w = ref_concat + row_diag_start[r];
+    int32_t mism = 0;
+    bool clean = true;
+    if (row_reversed[r]) {
+      for (int64_t i = 0; i < len; i++) {
+        uint8_t a = NIBBLE_COMP[q[len - 1 - i]];
+        uint8_t b = w[i];
+        clean &= IS_ACGT[a] & IS_ACGT[b];
+        mism += (a != b);
+      }
+    } else {
+      for (int64_t i = 0; i < len; i++) {
+        uint8_t a = q[i];
+        uint8_t b = w[i];
+        clean &= IS_ACGT[a] & IS_ACGT[b];
+        mism += (a != b);
+      }
+    }
+    out_counts[r] = mism;
+    out_clean[r] = clean ? 1 : 0;
+  }
+}
