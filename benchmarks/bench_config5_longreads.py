@@ -50,8 +50,10 @@ def main(argv):
     t1 = time.time()
     cli_main([
         "--reference", ref_path,
-        "--queries", reads_path,
+        # the reference's context-sensitive flag order: the split flag must
+        # precede the --queries it applies to (Mapper.java:102-104)
         "--split-queries-past-size", "1500",
+        "--queries", reads_path,
         "--infer-ancestors",
         "--out-sam", sam,
     ])

@@ -54,7 +54,10 @@ class BatchAligner:
         reference_index,
         parameters,
         band: int | None = None,
-        max_query_length: int = 512,
+        # reads longer than this take the sequential exact path; 2048 covers
+        # --split-queries-past-size chunks (the reference warns past 1600bp,
+        # Mapper.java:946-981) while bounding the kernel's LQ bucket
+        max_query_length: int = 2048,
         max_candidates_per_read: int = 8,
         listeners: list | None = None,
         tile: int = 1024,
@@ -1091,6 +1094,41 @@ class BatchAligner:
                 ungapped[ctx["dev_rows"]] = d_ung
                 banded[ctx["dev_rows"]] = d_banded
         mark("scoring")
+        # wide-band gate (the single-end analog of the paired path's
+        # certified_pair): a read whose indel budget exceeds the banded
+        # window's reach could have an out-of-band indel alignment the kernel
+        # cannot see.  Any alignment the band cannot represent carries a
+        # cumulative indel length > band//2, so its penalty is at least
+        # indel_start + extension*(band//2 + 1); a read whose best in-contig
+        # ungapped penalty keeps the whole emission window strictly below
+        # that bound is sound regardless (in practice the kernel's cheap
+        # in-band insertions already defer shifted reads — this makes the
+        # argument airtight instead of probabilistic).  Others go to the
+        # exact worker.
+        band = ctx["band"]
+        max_indel_read = np.maximum(
+            0,
+            (
+                (batch.lengths * p.max_error_rate - p.deletion_start_penalty)
+                / p.deletion_extension_penalty
+            ).astype(np.int64),
+        )
+        wide = max_indel_read > band // 2
+        if np.any(wide):
+            out_band_min = min(
+                p.get_starting_insertion_start_penalty()
+                + p.insertion_extension_penalty * (band // 2 + 1),
+                p.deletion_start_penalty
+                + p.deletion_extension_penalty * (band // 2 + 1),
+            )
+            best_u = np.full(num_reads, np.inf)
+            np.minimum.at(best_u, table.read_id, ungapped)
+            sound = best_u + p.max_penalty_span + EPS < out_band_min
+            wide_fallback = wide & ~sound
+            if fallback_reads is None:
+                fallback_reads = wide_fallback
+            else:
+                fallback_reads = fallback_reads | wide_fallback
         # --- per-read decisions (vectorized over the candidate table) ----
         max_allowed = np.nextafter(n_per_cand * p.max_error_rate, np.inf)
         score = np.where(valid, np.minimum(banded, ungapped), np.inf)

@@ -78,3 +78,85 @@ def test_randomized_engine_agreement():
         if got != expected:
             mismatches.append((i, got, expected))
     assert not mismatches, mismatches[:3]
+
+
+def test_wide_band_indel_read_matches_exact_engine():
+    """A read whose indel budget exceeds the banded window (length 400 ->
+    max_indel 77 > band//2 = 64) carrying a 70bp deletion near its tail: the
+    full-length ungapped placement can be viable (tail mismatches within
+    budget) while the exact engine finds the far cheaper out-of-band deletion.
+    The batch engine must defer such reads to the exact worker (the wide-band
+    gate) rather than emit the ungapped placement."""
+    rng = np.random.default_rng(31)
+    n = 4000
+    ref_list = list(random_text(n, rng))
+    # read = ref[100:447] + ref[517:570]  (70bp deletion at read offset 347)
+    # craft the skipped-over region so the ungapped tail stays within budget:
+    # make ref[447:500] agree with ref[517:570] except at 30 positions
+    tail_src = ref_list[517:570]
+    ref_list[447:500] = list(tail_src)
+    mism_positions = rng.choice(53, size=39, replace=False)
+    for j in mism_positions:
+        old = ref_list[447 + j]
+        ref_list[447 + j] = {"A": "C", "C": "G", "G": "T", "T": "A"}[old]
+    ref_text = "".join(ref_list)
+    read_text = ref_text[100:447] + ref_text[517:570]
+    assert len(read_text) == 400
+
+    index = Api.new_database({"chr": ref_text})
+    params = AlignmentParameters.defaults()
+    query = Query(Sequence.from_text("wide", read_text))
+
+    exact = AlignerWorker(index, params).align(query)
+    engine = BatchAligner(index, params)
+    batch = engine.process_batch([Query(Sequence.from_text("wide", read_text))])[0]
+    assert summarize(batch) == summarize(exact)
+    # scenario sanity: the winning alignment is the deletion (penalty 36.5),
+    # not the viable-but-worse ungapped placement (39 mismatches <= budget 40)
+    assert any(
+        any(s.length_a != s.length_b for s in choice.get_component(0).sections)
+        for choice in batch.get_first_alignments()
+    )
+
+
+def test_long_read_agreement():
+    """Split-length reads (~1400bp, the --split-queries-past-size regime) ride
+    the batch path; SNP-only, indel-carrying, reverse-strand, and unalignable
+    long reads must agree with the exact worker."""
+    rng = np.random.default_rng(99)
+    ref_text = random_text(60000, rng)
+    index = Api.new_database({"chr": ref_text})
+    params = AlignmentParameters.defaults()
+    worker = AlignerWorker(index, params)
+    engine = BatchAligner(index, params)
+
+    reads = []
+    for i in range(24):
+        pos = int(rng.integers(0, 60000 - 1500))
+        text = list(ref_text[pos : pos + 1400])
+        kind = i % 4
+        if kind == 0:  # spread SNPs (sound under the wide-band gate)
+            for j in rng.choice(1400, size=12, replace=False):
+                text[j] = {"A": "C", "C": "G", "G": "T", "T": "A"}[text[j]]
+        elif kind == 1:  # deletion of 40 (in-band for band 128)
+            text = list(ref_text[pos : pos + 700]) + list(
+                ref_text[pos + 740 : pos + 1440]
+            )
+        elif kind == 2:  # dense mutated tail (falls back via gate or banded)
+            for j in range(1300, 1400):
+                if rng.random() < 0.6:
+                    text[j] = {"A": "C", "C": "G", "G": "T", "T": "A"}[text[j]]
+        else:  # random (unalignable)
+            text = list(random_text(1400, rng))
+        s = "".join(text)
+        if rng.random() < 0.5:
+            s = basepairs.decode(basepairs.reverse_complement(basepairs.encode(s)))
+        reads.append(s)
+
+    queries = [Query(Sequence.from_text(f"L{i}", s)) for i, s in enumerate(reads)]
+    batch_results = engine.process_batch(
+        [Query(Sequence.from_text(f"L{i}", s)) for i, s in enumerate(reads)]
+    )
+    for i, q in enumerate(queries):
+        exact = worker.align(q)
+        assert summarize(batch_results[i]) == summarize(exact), i
