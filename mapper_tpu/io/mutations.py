@@ -69,12 +69,24 @@ class MutationsWriter:
             "# deletion rows:  ALT is '-' per deleted base; POS is the first deleted base\n"
         )
         self.stream.write("CHR\tPOS\tREF\tALT\tDEPTH\tSUPPORT_FRACTION\n")
-        for sequence, pileup in pileups.items():
-            self._write_contig(sequence, pileup)
+        items = list(pileups.items())
+        if num_threads > 1 and len(items) > 1:
+            # contig-parallel formatting (MutationsWriter.write(…, numThreads),
+            # Mapper.java:783); buffered per contig so output order is stable
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                for text in pool.map(
+                    lambda sp: self._format_contig(sp[0], sp[1]), items
+                ):
+                    self.stream.write(text)
+        else:
+            for sequence, pileup in items:
+                self.stream.write(self._format_contig(sequence, pileup))
         if self._owns:
             self.stream.close()
 
-    def _write_contig(self, sequence: Sequence, pileup: ContigPileup) -> None:
+    def _format_contig(self, sequence: Sequence, pileup: ContigPileup) -> str:
         p = self.parameters
         n = len(sequence)
         ref_codes = sequence.codes
@@ -167,5 +179,6 @@ class MutationsWriter:
             )
             rows.append((int(pos), 0, line))
 
-        for _, _, line in sorted(rows, key=lambda r: (r[0], r[1])):
-            self.stream.write(line + "\n")
+        return "".join(
+            line + "\n" for _, _, line in sorted(rows, key=lambda r: (r[0], r[1]))
+        )

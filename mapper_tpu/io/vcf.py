@@ -54,23 +54,41 @@ class VcfWriter:
         return self.num_reference_positions_matched
 
     def write(self, pileups: dict[Sequence, ContigPileup], num_threads: int = 1) -> None:
+        """Writes all contigs.  num_threads > 1 formats contigs in parallel
+        (the reference's VcfWriter.write(alignments, numThreads),
+        Mapper.java:764) — output order stays deterministic because each
+        contig's text is buffered and emitted in input order."""
         self.stream.write(_HEADER)
         columns = ["CHR", "POS", "REF", "DEPTH_MIDDLE", "DEPTH_END", "ALLELES"]
         if self.show_support_read:
             columns.append("SUPPORT")
         self.stream.write("#" + "\t".join(columns) + "\n")
-        for sequence, pileup in pileups.items():
-            self._write_contig(sequence, pileup)
+        items = list(pileups.items())
+        if num_threads > 1 and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                texts = list(
+                    pool.map(lambda sp: self._format_contig(sp[0], sp[1]), items)
+                )
+            for text, matched in texts:
+                self.num_reference_positions_matched += matched
+                self.stream.write(text)
+        else:
+            for sequence, pileup in items:
+                text, matched = self._format_contig(sequence, pileup)
+                self.num_reference_positions_matched += matched
+                self.stream.write(text)
         if self._owns:
             self.stream.close()
 
-    def _write_contig(self, sequence: Sequence, pileup: ContigPileup) -> None:
+    def _format_contig(self, sequence: Sequence, pileup: ContigPileup) -> tuple[str, int]:
         p = self.parameters
         middle_depth = pileup.middle.sum(axis=0)
         end_depth = pileup.end.sum(axis=0)
         total = middle_depth + end_depth
         covered_mask = total > 0
-        self.num_reference_positions_matched += int(np.count_nonzero(covered_mask))
+        matched = int(np.count_nonzero(covered_mask))
 
         insertions_by_pos: dict[int, list[tuple[str, float, float, str]]] = {}
         for (pos, text), (mid_w, end_w, example) in pileup.insertions.items():
@@ -183,7 +201,7 @@ class VcfWriter:
             merged_pos = simple_pos
             merged_ids = simple_ids
         if merged_pos.shape[0] == 0:
-            return
+            return "", matched
 
         from mapper_tpu.native import native_format_rows
 
@@ -194,7 +212,7 @@ class VcfWriter:
                 f"{name}\t{pos}{suffixes[j]}"
                 for pos, j in zip((merged_pos + 1).tolist(), merged_ids.tolist())
             )
-        self.stream.write(text)
+        return text, matched
 
     @staticmethod
     def _simple_suffix_ids(

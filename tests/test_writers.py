@@ -331,3 +331,54 @@ def test_vcf_fractional_depths_and_python_fallback(tmp_path, monkeypatch):
     without_native = render()
     assert with_native == without_native
     assert with_native.count("\n") > 300
+
+
+def test_parallel_writers_match_serial():
+    """VcfWriter.write / MutationsWriter.write with num_threads > 1 must be
+    byte-identical to the serial pass (the reference passes numThreads at
+    Mapper.java:764,783; order stays deterministic via per-contig buffers)."""
+    import io as _io
+
+    import numpy as np
+
+    from mapper_tpu.io.mutations import MutationDetectionParameters, MutationsWriter
+    from mapper_tpu.io.vcf import VcfWriter
+    from mapper_tpu.pileup import ContigPileup
+    from mapper_tpu.sequence import Sequence
+
+    rng = np.random.default_rng(21)
+    pileups = {}
+    for c in range(5):
+        n = 300 + 40 * c
+        seq = Sequence.from_text(f"ctg{c}", "".join(rng.choice(list("ACGT"), size=n)))
+        pileup = ContigPileup.empty(seq)
+        for _ in range(900):
+            pos = int(rng.integers(0, n))
+            row = int(rng.choice([0, 1, 2, 3, 0, 1, 2, 3, 4, 5]))
+            target = pileup.middle if rng.random() < 0.8 else pileup.end
+            target[row, pos] += 0.5 if rng.random() < 0.3 else 1.0
+        pileup.insertions[(n // 2, "GA")] = (2.0, 0.5, "readX")
+        if c == 1:
+            pileup.deletion_start_middle[n // 3] = 3.0
+            pileup.middle[4, n // 3] += 3.0
+        pileups[seq] = pileup
+
+    for params in (
+        MutationDetectionParameters.empty_filter(),
+        MutationDetectionParameters.default_filter(),
+    ):
+        serial_vcf, par_vcf = _io.StringIO(), _io.StringIO()
+        w1 = VcfWriter(serial_vcf, True, params, True)
+        w1.write(pileups, num_threads=1)
+        w4 = VcfWriter(par_vcf, True, params, True)
+        w4.write(pileups, num_threads=4)
+        assert serial_vcf.getvalue() == par_vcf.getvalue()
+        assert (
+            w1.get_num_reference_positions_matched()
+            == w4.get_num_reference_positions_matched()
+        )
+
+        serial_mut, par_mut = _io.StringIO(), _io.StringIO()
+        MutationsWriter(serial_mut, params).write(pileups, num_threads=1)
+        MutationsWriter(par_mut, params).write(pileups, num_threads=4)
+        assert serial_mut.getvalue() == par_mut.getvalue()
