@@ -118,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
     split_queries_past_size = -1
     has_paired_without_spacing = False
     engine = "batch"  # "batch" = TPU pipeline with exact fallback; "exact" = sequential
+    num_devices = "auto"  # "auto" = all visible chips; N = first N devices
 
     i = 0
     while i < len(args):
@@ -223,6 +224,15 @@ def main(argv: list[str] | None = None) -> int:
         elif arg == "--num-threads":
             num_threads = int(args[i + 1])
             i += 2
+        elif arg == "--devices":
+            # the TPU-native analog of --num-threads: shard candidate scoring
+            # over a data mesh of N chips (the reference's scale knob is N
+            # worker threads, Mapper.java:154,640)
+            if args[i + 1] != "auto":
+                num_devices = int(args[i + 1])
+                if num_devices < 1:
+                    usage_error("--devices must be >= 1 or 'auto'")
+            i += 2
         elif arg == "--engine":
             engine = args[i + 1]
             if engine not in ("batch", "exact"):
@@ -298,6 +308,7 @@ def main(argv: list[str] | None = None) -> int:
 
     return run(
         engine=engine,
+        num_devices=num_devices,
         reference_paths=reference_paths,
         query_providers=query_providers,
         cache_dir=cache_dir,
@@ -345,6 +356,7 @@ def run(
     enable_gapmers,
     verify_consistent_database,
     start_time,
+    num_devices="auto",
 ) -> int:
     log = lambda message: print(message, file=sys.stderr)
     log("Loading reference")
@@ -457,7 +469,27 @@ def run(
     if engine == "batch":
         from mapper_tpu.batch.engine import BatchAligner
 
-        engine_obj = BatchAligner(reference_index, parameters, listeners=listeners)
+        mesh = None
+        import jax
+
+        available = jax.devices()
+        if num_devices == "auto":
+            use_devices = available if len(available) > 1 else []
+        else:
+            if num_devices > len(available):
+                usage_error(
+                    f"--devices {num_devices} requested but only "
+                    f"{len(available)} visible ({jax.default_backend()} backend)"
+                )
+            use_devices = available[:num_devices] if num_devices > 1 else []
+        if use_devices:
+            from mapper_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(use_devices)
+            log(f"Sharding candidate scoring over {len(use_devices)} devices")
+        engine_obj = BatchAligner(
+            reference_index, parameters, listeners=listeners, mesh=mesh
+        )
         engine_obj.fallback_worker = AlignerWorker(reference_index, parameters, cache=cache)
         worker_stats = engine_obj.fallback_worker.stats
     else:

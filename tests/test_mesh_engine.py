@@ -114,3 +114,46 @@ def test_engine_results_identical_on_mesh(setup):
     r1 = multi.process_batch(queries, notify=False)
     for i, (a, b) in enumerate(zip(r0, r1)):
         assert summarize(a) == summarize(b), f"query {i} diverged"
+
+
+def test_cli_devices_flag_byte_identical(tmp_path):
+    """The production CLI run with --devices 8 (8-way virtual CPU mesh) must
+    produce byte-identical SAM/VCF to --devices 1 (VERDICT r2 item 1; the
+    reference's scale knob is N worker threads, Mapper.java:943-1101)."""
+    from mapper_tpu.cli import main
+
+    rng = np.random.default_rng(17)
+    ref_text = random_text(30000, 13)
+    ref = tmp_path / "ref.fasta"
+    ref.write_text(">chr1\n" + ref_text[:18000] + "\n>chr2\n" + ref_text[18000:] + "\n")
+    reads = tmp_path / "reads.fasta"
+    bases = list("ACGT")
+    lines = []
+    for i in range(300):
+        pos = int(rng.integers(0, 30000 - 150))
+        frag = list(ref_text[pos : pos + 150])
+        for _ in range(int(rng.integers(0, 4))):
+            frag[int(rng.integers(0, 150))] = bases[int(rng.integers(0, 4))]
+        text = "".join(frag)
+        if rng.random() < 0.5:
+            text = rc_text(text)
+        lines.append(f">r{i}\n{text}\n")
+    reads.write_text("".join(lines))
+
+    outputs = {}
+    for n_dev in (1, 8):
+        sam = tmp_path / f"out{n_dev}.sam"
+        vcf = tmp_path / f"out{n_dev}.vcf"
+        rc = main(
+            [
+                "--reference", str(ref),
+                "--queries", str(reads),
+                "--out-sam", str(sam),
+                "--out-vcf", str(vcf),
+                "--devices", str(n_dev),
+            ]
+        )
+        assert rc == 0
+        outputs[n_dev] = (sam.read_text(), vcf.read_text())
+    assert outputs[1][0] == outputs[8][0], "SAM diverged across device counts"
+    assert outputs[1][1] == outputs[8][1], "VCF diverged across device counts"
