@@ -43,6 +43,12 @@ class WorkerStatistics:
         self.slowest_query_name = None
         self.slowest_query_seconds = 0.0
         self.slowest_query_num_alignments = 0
+        # "Query at random moment" sampling (RandomMomentSelector.java:13-27,
+        # AlignerWorker.java:207, reported at Mapper.java:835-837)
+        from mapper_tpu.stats import RandomMomentSelector
+
+        self.random_moment = RandomMomentSelector()
+        self.query_at_random_moment = None
 
     def record_query_time(self, name: str, seconds: float, num_alignments: int) -> None:
         if seconds > self.slowest_query_seconds:
@@ -58,7 +64,9 @@ class AlignerWorker:
         parameters,
         listeners: list | None = None,
         cache: AlignmentCache | None = None,
+        logger=None,
     ):
+        self.set_logger(logger)
         self.reference_index = reference_index
         self.database = reference_index.hashblock_database
         self.duplication_detector = reference_index.duplication_detector
@@ -70,11 +78,25 @@ class AlignerWorker:
         self.stats = WorkerStatistics()
         self.cache_enable_fraction = 1.0
 
+    def set_logger(self, logger) -> None:
+        """Scoped verbose tracing (AlignerWorker.setLogger, java:36-40): the
+        detail logger is one scope deeper, so it only speaks at
+        --verbose-alignment verbosity."""
+        from mapper_tpu.logging import NO_OP_LOGGER
+
+        self.logger = logger if logger is not None else NO_OP_LOGGER
+        self.detailed_logger = self.logger.increment_scope()
+
     # --- batch processing ---------------------------------------------------
 
     def before_batch(self, batch_size: int) -> None:
         if self.cache is not None:
             self.cache_enable_fraction = self.cache.choose_enable_fraction(batch_size)
+            if self.logger.get_enabled():
+                self.logger.log(
+                    f"Num cache entries = {self.cache.get_usage()}, num queries = "
+                    f"{batch_size}; cache enabled fraction = {self.cache_enable_fraction}"
+                )
 
     def process_batch(
         self, queries: list[Query], notify: bool = True
@@ -95,6 +117,8 @@ class AlignerWorker:
 
     def align(self, query: Query) -> QueryAlignments:
         self.stats.num_queries += 1
+        if self.stats.random_moment.select(time.time()):
+            self.stats.query_at_random_moment = query
         t0 = time.monotonic()
         result = self._check_cache_and_align(query)
         num_alignments = sum(len(c) for c in result.get_alignments())
@@ -116,6 +140,8 @@ class AlignerWorker:
         cached = self.cache.get(key)
         if cached is not None and cached.get_num_components() == 1:
             self.stats.num_cache_hits += 1
+            if self.logger.get_enabled():
+                self.logger.log("reusing cached result")
             new_component = [
                 option.with_query(query.get_sequences())
                 for option in cached.get_first_alignments()
@@ -144,6 +170,12 @@ class AlignerWorker:
             alignment.put_sequence_b(original)
 
     def _align_to_ancestral_reference(self, query: Query) -> QueryAlignments:
+        logger = self.logger
+        if logger.get_enabled():
+            logger.log(
+                f"Aligning query {query.format()} ({query.get_length()}bp, "
+                f"{query.get_num_sequences()} component(s))"
+            )
         params = self.parameters
         max_interesting = query.get_length() * params.max_error_rate
         max_inner_distance = int(
@@ -170,8 +202,24 @@ class AlignerWorker:
         if len(best_matches) == 1:
             optimistic_best_match = best_matches[0]
             optimistic_best_alignment = aligner.align(optimistic_best_match)
+            if logger.get_enabled():
+                if optimistic_best_alignment is not None:
+                    logger.log(
+                        "Optimistic best alignment at "
+                        f"{optimistic_best_match.summarize_position_b()} with penalty "
+                        f"{optimistic_best_alignment.get_penalty()}"
+                    )
+                else:
+                    logger.log(
+                        "Optimistic best match at "
+                        f"{optimistic_best_match.summarize_position_b()} but couldn't align"
+                    )
             if self._quickly_confident(optimistic_best_alignment, optimistic_best_match):
                 self.stats.num_immediately_accepted += 1
+                if logger.get_enabled():
+                    logger.log(
+                        "Accepting optimistic alignment immediately (no duplication in range)"
+                    )
                 return QueryAlignments.single_choice(optimistic_best_alignment)
 
         num_mismatches = 0
@@ -184,7 +232,17 @@ class AlignerWorker:
                     > optimistic_best_alignment.get_penalty() + params.max_penalty_span
                 ):
                     self.stats.num_immediately_accepted += 1
+                    if logger.get_enabled():
+                        logger.log(
+                            f"Accepting optimistic alignment: {num_mismatches} distinct "
+                            f"mismatched blocks implies penalty >= {possible}"
+                        )
                     return QueryAlignments.single_choice(optimistic_best_alignment)
+                if self.detailed_logger.get_enabled():
+                    self.detailed_logger.log(
+                        "cannot prove optimistic alignment is best yet: penalty could be "
+                        f"{possible} for {num_mismatches} distinct mismatched blocks"
+                    )
                 matches = path.find_good_positions_having_priority(num_mismatches)
                 num_mismatches += 1
                 done = False
@@ -201,10 +259,27 @@ class AlignerWorker:
         while True:
             estimated = self._penalty_lower_bound(candidate_num_mismatches)
             if estimated > best_penalty + params.max_penalty_span:
+                if logger.get_enabled():
+                    logger.log(
+                        f"Done checking alignment positions: {candidate_num_mismatches} "
+                        f"mismatches implies penalty {estimated} which is more than "
+                        f"bestPenalty {best_penalty}"
+                    )
                 break
             if candidate_num_mismatches > path.get_num_blocks():
+                if logger.get_enabled():
+                    logger.log(
+                        "Done checking alignment positions: candidateNumMismatches = "
+                        f"{candidate_num_mismatches}, path.getNumBlocks() = "
+                        f"{path.get_num_blocks()}"
+                    )
                 break
             candidates = path.find_good_positions_having_priority(candidate_num_mismatches)
+            if self.detailed_logger.get_enabled() and candidates:
+                self.detailed_logger.log(
+                    f"priority {candidate_num_mismatches}: checking "
+                    f"{len(candidates)} candidate position(s)"
+                )
             for match in candidates:
                 if optimistic_best_match is not None and match.same_position(
                     optimistic_best_match
@@ -226,11 +301,24 @@ class AlignerWorker:
                     best_penalty = min(best_penalty, alignment.get_penalty())
 
         best_alignments = aligner.get_best_alignments()
+        if logger.get_enabled():
+            if best_alignments:
+                logger.log(
+                    f"Found {len(best_alignments)} alignment(s); best penalty "
+                    f"{min(a.get_penalty() for a in best_alignments)}"
+                )
+            else:
+                logger.log("No alignments found")
         result = QueryAlignments.single_component(query.get_sequences(), best_alignments)
         if len(best_alignments) < 1 and query.get_num_sequences() > 1:
             result = self._get_unpaired_alignments(query, path)
 
         if len(best_alignments) > params.max_num_matches:
+            if logger.get_enabled():
+                logger.log(
+                    f"{len(best_alignments)} alignments exceeds --max-num-matches "
+                    f"{params.max_num_matches}; treating query as unaligned"
+                )
             return QueryAlignments.unaligned(query.get_sequences())
         return result
 

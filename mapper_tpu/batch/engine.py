@@ -24,6 +24,7 @@ inversion of the reference's adaptive search.
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 
@@ -150,6 +151,26 @@ class BatchAligner:
         for i in fallback_indices:
             self.stats_fallback_reads += 1
             results[i] = self.fallback_worker.align(queries[i])
+
+        # "query at random moment" sampling at chunk granularity: when this
+        # moment is selected, record a uniformly random query from the chunk
+        # (the batch path has no per-query loop to instrument)
+        stats = self.fallback_worker.stats
+        if queries and stats.random_moment.select(time.time()):
+            stats.query_at_random_moment = queries[
+                stats.random_moment.random.randrange(len(queries))
+            ]
+
+        logger = getattr(self, "logger", None)
+        if logger is not None and logger.get_enabled():
+            aligned = sum(
+                1 for r in results if r is not None and any(r.get_alignments())
+            )
+            logger.log(
+                f"Batch of {len(queries)} queries: {len(batch_indices)} single-end "
+                f"batched, {len(paired_indices)} paired batched, "
+                f"{len(fallback_indices)} via exact fallback; {aligned} aligned"
+            )
 
         if notify:
             for listener in self.listeners:

@@ -47,6 +47,7 @@ from mapper_tpu.stats import (
 
 DEFAULT_EXPECTED_PAIR_DISTANCE = 100
 DEFAULT_SPACING_DEVIATION = 50
+_INT_MAX = 2**31 - 1
 
 
 def usage_error(message: str) -> None:
@@ -119,6 +120,9 @@ def main(argv: list[str] | None = None) -> int:
     has_paired_without_spacing = False
     engine = "batch"  # "batch" = TPU pipeline with exact fallback; "exact" = sequential
     num_devices = "auto"  # "auto" = all visible chips; N = first N devices
+    alignment_verbosity = 0
+    reference_verbosity = 0
+    auto_verbose = False
 
     i = 0
     while i < len(args):
@@ -185,7 +189,22 @@ def main(argv: list[str] | None = None) -> int:
         elif arg == "--allow-duplicate-contig-names":
             allow_duplicate_contig_names = True
             i += 1
-        elif arg in ("--verbose", "-v", "--verbose-alignment", "--verbose-reference", "-vv", "--verbosity-auto"):
+        elif arg in ("--verbose", "-v"):
+            # verbosity semantics per Mapper.java:261-281
+            alignment_verbosity = max(alignment_verbosity, 1)
+            i += 1
+        elif arg == "--verbose-alignment":
+            alignment_verbosity = max(alignment_verbosity, _INT_MAX)
+            i += 1
+        elif arg == "--verbose-reference":
+            reference_verbosity = max(reference_verbosity, 1)
+            i += 1
+        elif arg == "-vv":
+            alignment_verbosity = max(alignment_verbosity, _INT_MAX)
+            reference_verbosity = max(reference_verbosity, 1)
+            i += 1
+        elif arg == "--verbosity-auto":
+            auto_verbose = True
             i += 1
         elif arg == "--new-indel-penalty":
             indel_start_penalty = float(args[i + 1])
@@ -309,6 +328,9 @@ def main(argv: list[str] | None = None) -> int:
     return run(
         engine=engine,
         num_devices=num_devices,
+        alignment_verbosity=alignment_verbosity,
+        reference_verbosity=reference_verbosity,
+        auto_verbose=auto_verbose,
         reference_paths=reference_paths,
         query_providers=query_providers,
         cache_dir=cache_dir,
@@ -357,8 +379,15 @@ def run(
     verify_consistent_database,
     start_time,
     num_devices="auto",
+    alignment_verbosity=0,
+    reference_verbosity=0,
+    auto_verbose=False,
 ) -> int:
+    from mapper_tpu.logging import BufferedWriter, Logger, StderrWriter
+
     log = lambda message: print(message, file=sys.stderr)
+    stderr_writer = StderrWriter()
+    reference_logger = Logger(stderr_writer, 0, reference_verbosity)
     log("Loading reference")
     reference_provider = fastx.load_from(reference_paths, keep_quality=False)
     sorted_reference = sort_and_complement(b.build() for b in reference_provider)
@@ -386,6 +415,7 @@ def run(
             max_num_short_matches=8,
             enable_gapmers=enable_gapmers,
             cache_dir=dir_cache,
+            logger=reference_logger,
         )
         if verify_consistent_database:
             original_db.verify_matches(
@@ -413,6 +443,7 @@ def run(
             hint_max_interesting_size=max_dup,
             enable_gapmers=enable_gapmers,
             cache_dir=dir_cache,
+            logger=reference_logger,
         )
         if verify_consistent_database:
             log("Verifying database consistency (double build)")
@@ -515,10 +546,41 @@ def run(
     pool = ThreadPoolExecutor(max_workers=2)
     pending: deque = deque()
 
+    # verbose alignment tracing: each chunk logs into a BufferedWriter
+    # replayed under a header after the chunk completes (the reference's
+    # per-worker buffered log replay, Mapper.java:1014-1019); verbose runs
+    # process chunks serially so the shared engine logger cannot race
+    verbose_alignment = alignment_verbosity > 0 or auto_verbose
+    chunk_counter = 0
+
+    def submit_batch(chunk_batch) -> None:
+        nonlocal chunk_counter
+        writer = None
+        if verbose_alignment:
+            writer = BufferedWriter(
+                stderr_writer, f"\nOutput from chunk {chunk_counter}:", 100000
+            )
+            verbosity = alignment_verbosity
+            if auto_verbose and chunk_counter == 0:
+                verbosity = max(verbosity, _INT_MAX)
+            chunk_logger = Logger(writer, 0, verbosity)
+            if engine == "batch":
+                engine_obj.logger = chunk_logger
+                engine_obj.fallback_worker.set_logger(chunk_logger)
+            else:
+                engine_obj.set_logger(chunk_logger)
+        chunk_counter += 1
+        pending.append(
+            (pool.submit(engine_obj.process_batch, chunk_batch, notify=False), writer)
+        )
+
     def drain(limit: int) -> None:
         nonlocal last_report
         while len(pending) > limit:
-            results = pending.popleft().result()
+            future, writer = pending.popleft()
+            results = future.result()
+            if writer is not None:
+                writer.flush()
             for listener in listeners:
                 listener.add_alignments(results)
             now = time.time()
@@ -534,13 +596,13 @@ def run(
         batch.append(query_builder.build())
         batch_bases += batch[-1].get_length()
         if batch_bases >= max_bases_per_batch:
-            pending.append(
-                pool.submit(engine_obj.process_batch, batch, notify=False)
-            )
+            submit_batch(batch)
             batch, batch_bases = [], 0
-            drain(1)  # keep at most two batches in flight
+            # verbose runs serialize chunks (shared chunk logger); otherwise
+            # keep at most two batches in flight
+            drain(0 if verbose_alignment else 1)
     if batch:
-        pending.append(pool.submit(engine_obj.process_batch, batch, notify=False))
+        submit_batch(batch)
     drain(0)
     pool.shutdown()
     log(f"Aligned {num_loaded} queries at {time.time() - start_time:.0f}s")
@@ -637,6 +699,10 @@ def run(
         f" Alignment cache usage         : {worker_stats.num_cache_hits} loaded, "
         f"{cache.get_usage()} stored, {worker_stats.num_cache_skips} skipped"
     )
+    if worker_stats.query_at_random_moment is not None:
+        # Mapper.java:835-837
+        q = worker_stats.query_at_random_moment
+        log(f" Query at random moment: #{q.get_id()} : {q.format()}")
     if worker_stats.slowest_query_name is not None:
         # reference: per-worker slowest-query timers (AlignerWorker.java:58-71)
         log(

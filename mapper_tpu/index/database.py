@@ -67,7 +67,13 @@ class HashBlockDatabase:
         max_num_short_matches: int = -1,
         enable_gapmers: bool = True,
         cache_dir: str | DirCache | None = None,
+        logger=None,
     ):
+        from mapper_tpu.logging import NO_OP_LOGGER
+
+        # reference-verbosity tracing (--verbose-reference; the reference's
+        # referenceLogger threads through the index build, Mapper.java:1017)
+        self.logger = logger if logger is not None else NO_OP_LOGGER
         self.sequence_database = sequence_database
         self.enable_gapmers = enable_gapmers
         self.total_forward_size = sequence_database.get_total_forward_size()
@@ -193,7 +199,17 @@ class HashBlockDatabase:
                 if size not in self.maps:
                     self.maps[size] = PackedIndex.empty(size)
             self.max_fully_set_up_size = max_size
+            if self.logger.get_enabled():
+                self.logger.log(
+                    f"Loaded hashblock sizes {lo + 1}..{max_size} from cache"
+                )
             return
+
+        if self.logger.get_enabled():
+            self.logger.log(
+                f"Hashing reference blocks of sizes {max(self.min_interesting_size, lo + 1)}"
+                f"..{max_size} ({self.total_forward_size}bp forward)"
+            )
 
         by_size_keys: dict[int, list[np.ndarray]] = {}
         by_size_positions: dict[int, list[np.ndarray]] = {}
@@ -214,6 +230,10 @@ class HashBlockDatabase:
                 self.maps[size] = PackedIndex.build(
                     size, keys, positions, capacity, cap, dedup_mask=amb
                 )
+                if self.logger.get_enabled():
+                    self.logger.log(
+                        f" hashed size {size}: {keys.shape[0]} blocks"
+                    )
             else:
                 self.maps[size] = PackedIndex.empty(size)
             path = self._cache_file(size)

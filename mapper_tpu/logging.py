@@ -72,7 +72,10 @@ class BufferedWriter(TextWriter):
 
 
 class Logger:
-    """Scope-indented logger with a verbosity gate."""
+    """Scope-indented logger with a verbosity gate: a logger is enabled while
+    its verbosity exceeds its scope depth, so `-v` (verbosity 1) shows
+    top-level decisions and `--verbose-alignment` (verbosity INF) also shows
+    the incremented-scope detail loggers (AlignerWorker.java:36-40)."""
 
     def __init__(self, writer: TextWriter, scope_depth: int = 0, verbosity: int = 1):
         self.writer = writer
@@ -80,7 +83,7 @@ class Logger:
         self.verbosity = verbosity
 
     def get_enabled(self) -> bool:
-        return self.verbosity > 0
+        return self.verbosity > self.scope_depth
 
     def log(self, message: str) -> None:
         if self.get_enabled():

@@ -7,8 +7,33 @@ Mapper.java:736-793)."""
 from __future__ import annotations
 
 import math
+import random
+import time
 
 from mapper_tpu.align.blocks import QueryAlignments
+
+
+class RandomMomentSelector:
+    """Selects one moment uniformly at random among all call times
+    (RandomMomentSelector.java:13-27): each selection extends the target
+    duration by a random divisor, so the final selected moment is uniform
+    over the run.  Used for the "Query at random moment" report line
+    (Mapper.java:1092-1096,835-837)."""
+
+    def __init__(self, start_time: float | None = None):
+        self.start_time = start_time if start_time is not None else time.time()
+        self.target_duration = 0.0
+        self.random = random.Random()
+
+    def select(self, current_time: float) -> bool:
+        elapsed = current_time - self.start_time
+        if elapsed >= self.target_duration:
+            divisor = self.random.random()
+            if divisor <= 0 or divisor >= 1:
+                divisor = 0.5
+            self.target_duration = elapsed / divisor
+            return True
+        return False
 
 
 class AlignmentCounter:

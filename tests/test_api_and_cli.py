@@ -206,3 +206,52 @@ def test_cli_cache_dir_reuse(tmp_path):
             == 0
         )
     assert any(cache.rglob("length-*.npz"))
+
+
+def test_cli_verbosity_flags(tmp_path, capsys):
+    """-v / --verbose-alignment / --verbose-reference / --verbosity-auto route
+    into the Logger/BufferedWriter machinery (Mapper.java:261-281,1014-1019):
+    verbose runs emit per-chunk replayed traces and identical output files."""
+    ref_text = random_text(3000, 7)
+    reads = [ref_text[i : i + 120] for i in (100, 700, 1500)]
+    ref, reads_path = write_files(tmp_path, ref_text, reads)
+
+    def go(extra, tag):
+        sam = tmp_path / f"out_{tag}.sam"
+        assert (
+            run_cli(
+                ["--reference", ref, "--queries", reads_path, "--out-sam", str(sam)]
+                + extra
+            )
+            == 0
+        )
+        return sam.read_text(), capsys.readouterr().err
+
+    quiet_sam, quiet_err = go([], "quiet")
+    assert "Output from chunk" not in quiet_err
+    assert "Aligning query" not in quiet_err
+
+    v_sam, v_err = go(["-v"], "v")
+    assert v_sam == quiet_sam
+    assert "Output from chunk 0:" in v_err
+    assert "Batch of" in v_err  # engine chunk summary
+
+    # the exact engine traces every query decision
+    e_sam, e_err = go(["-v", "--engine", "exact"], "exact")
+    assert e_sam == quiet_sam
+    assert "Aligning query" in e_err
+    assert "Optimistic best alignment at" in e_err
+
+    # --verbose-alignment additionally enables the detail (scope-1) logger
+    va_sam, va_err = go(["--verbose-alignment", "--engine", "exact"], "va")
+    assert va_sam == quiet_sam
+
+    # --verbose-reference logs the index build
+    r_sam, r_err = go(["--verbose-reference"], "vr")
+    assert r_sam == quiet_sam
+    assert "Hashing reference blocks of sizes" in r_err
+
+    # --verbosity-auto: chunk 0 verbose even without -v
+    a_sam, a_err = go(["--verbosity-auto"], "auto")
+    assert a_sam == quiet_sam
+    assert "Output from chunk 0:" in a_err
