@@ -382,7 +382,10 @@ class QueryAlignments:
     reference; statics singleChoice/singleComponent/unaligned per
     AlignerWorker.java:351,471,480)."""
 
-    __slots__ = ("query_sequences", "alignments_per_component")
+    # device_counted: set by the batch engine when this result's depth was
+    # already scatter-added on the device (batch/device_pileup.py) — the host
+    # MatchDatabase then skips it
+    __slots__ = ("query_sequences", "alignments_per_component", "device_counted")
 
     def __init__(self, query_sequences: list[Sequence], alignments_per_component: list[list[QueryAlignment]]):
         self.query_sequences = query_sequences

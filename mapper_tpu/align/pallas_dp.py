@@ -40,6 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e9
 
 
+def _int16_disabled() -> bool:
+    import os
+
+    return os.environ.get("MAPPER_TPU_NO_INT16") == "1"
+
+
 def _base_penalty(q, w, mutation, ambiguity):
     """Vectorized penalty between 4-bit codes (int32 arrays)."""
     union = q | w
@@ -118,6 +124,51 @@ def _dp_step(x, state, n, m, params_tuple, band):
     result = jnp.where(finished[:, 0], captured, result)
 
     return best_new, ins_x_new, result, _roll_minus_one(q_cur), _roll_minus_one(w_cur)
+
+
+INF16 = 16384  # saturation "infinity" for the int16 fixed-point kernel
+
+
+def _quantize_params(params, lq: int, band: int):
+    """Fixed-point scale for the int16 kernel: the smallest integer scale
+    <= 1024 making every penalty unit an exact integer (defaults are
+    1/30-rational: mutation 1, ambiguity/3 = 1/30, ins open 2.1, ...).
+    Returns (scale, int unit tuple) or None when the parameters are not
+    exactly representable or a worst-case in-band score could saturate.
+
+    Exactness: every score the kernel can produce below INF16 is an integer
+    count of 1/scale units, so comparisons between kernel outputs (banded vs
+    ungapped-diagonal) are exact — better than f32 accumulation order."""
+    # quantize the exact float64 parameter values (the f32-rounded tuple the
+    # float kernel uses is off integer multiples by ~1e-6: f32(2.1)*30 != 63)
+    units = (
+        float(params.mutation_penalty),
+        float(params.ambiguity_penalty) / 3.0,
+        float(params.insertion_start_penalty) + float(params.insertion_extension_penalty),
+        float(params.insertion_extension_penalty),
+        float(params.deletion_start_penalty) + float(params.deletion_extension_penalty),
+        float(params.deletion_extension_penalty),
+    )
+    for scale in range(1, 1025):
+        scaled = [u * scale for u in units]
+        if all(abs(s - round(s)) < 1e-6 for s in scaled):
+            ints = tuple(int(round(s)) for s in scaled)
+            # saturation is monotone (penalties are non-negative, updates are
+            # clamped to INF16), so any true score below the ceiling is exact
+            # and saturated paths report INF16 — correct as long as every
+            # penalty the engine could still accept sits below the ceiling.
+            # The accept budget is query_len * MaxErrorRate (AlignmentParameters
+            # .java:23-27); leave 2x headroom over the padded-length budget.
+            budget = lq * max(params.max_error_rate, 0.5) * scale
+            if 2 * budget >= INF16:
+                return None
+            # no int16 overflow before the saturating clamp: the largest
+            # pre-clamp value is INF16 + band * unit (the Kogge-Stone's
+            # step * del_ext term and single-unit adds)
+            if INF16 + band * max(ints) >= 2**15 - 1:
+                return None
+            return scale, ints
+    return None
 
 
 def _params_tuple(params):
@@ -425,6 +476,151 @@ def _pen_kernel_x(
         out_ref[:] = res_ref[:]
 
 
+def _pen_kernel_x_i16(
+    pen_ref, n_ref, m_ref, out_ref, best_ref, insx_ref, res_ref,
+    *, band: int, lq: int, xchunk: int, ints: tuple,
+):
+    """Fixed-point variant of the pen kernel: all DP state is int16 in units
+    of 1/scale (see _quantize_params), with saturating adds clamped to INF16.
+    Halves the vector registers per op vs float32 — the kernel is issue-bound
+    (measured: band 128 costs ~13% more than band 64 at 2x the cells), so
+    fewer/denser vregs is the main throughput lever.  The integer penalty
+    units are compile-time constants (they come from the static quantizer
+    result), sidestepping int16 scalar loads."""
+    c = pl.program_id(1)
+    tile = best_ref.shape[0]
+    n = n_ref[:]
+    m = m_ref[:]
+    inf = jnp.int16(INF16)
+    ins_open = jnp.int16(ints[2])
+    ins_ext = jnp.int16(ints[3])
+    del_open = jnp.int16(ints[4])
+    del_ext = jnp.int16(ints[5])
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        best_ref[:] = jnp.where(k_range <= m, jnp.int16(0), inf)
+        insx_ref[:] = jnp.full((tile, band), inf, jnp.int16)
+        res_ref[:] = jnp.full((tile, 1), inf, jnp.int16)
+
+    best = best_ref[:]
+    ins_x = insx_ref[:]
+    result = res_ref[:][:, 0]
+    for j in range(xchunk):
+        x = c * xchunk + j
+        pen = pen_ref[j]
+        w_valid = (x + k_range) < m
+        active = x < n
+        diag_new = jnp.where(
+            w_valid & active, jnp.minimum(best + pen, inf), inf
+        )
+
+        ins_candidates = jnp.minimum(
+            jnp.minimum(ins_x + ins_ext, best + ins_open), inf
+        )
+        ins_shifted = jnp.concatenate(
+            [ins_candidates[:, 1:], jnp.full((tile, 1), inf, jnp.int16)], axis=1
+        )
+        ins_new = jnp.where(active, ins_shifted, inf)
+
+        best_after = jnp.minimum(diag_new, ins_new)
+
+        shifted = jnp.concatenate(
+            [jnp.full((tile, 1), inf, jnp.int16), best_after[:, :-1]], axis=1
+        )
+        chain = jnp.minimum(shifted + del_open, inf)
+        step = 1
+        while step < band:
+            moved = jnp.concatenate(
+                [jnp.full((tile, step), inf, jnp.int16), chain[:, :-step]], axis=1
+            )
+            chain = jnp.minimum(
+                chain, jnp.minimum(moved + jnp.int16(step * ints[5]), inf)
+            )
+            step *= 2
+        chain = jnp.where(w_valid & active, chain, inf)
+
+        best_new = jnp.minimum(best_after, chain)
+        best = jnp.where(active, best_new, best)
+        ins_x = jnp.where(active, ins_new, ins_x)
+
+        finished = (x + 1) == n
+        tail_valid = ((x + 1) + k_range) <= m
+        finals = jnp.where(tail_valid, best, inf)
+        # Mosaic has no int16 reductions; widen just the capture reduce
+        captured = jnp.min(finals.astype(jnp.int32), axis=1).astype(jnp.int16)
+        result = jnp.where(finished[:, 0], captured, result)
+
+    best_ref[:] = best
+    insx_ref[:] = ins_x
+    res_ref[:] = result.reshape(tile, 1)
+
+    @pl.when(c == (lq // xchunk) - 1)
+    def _finish():
+        out_ref[:] = res_ref[:]
+
+
+def _base_penalty_i16(q, w, mutation_i, amb_unit_i):
+    """Integer penalty units between 4-bit codes: amb_unit per extra union
+    bit when compatible, mutation units otherwise (int32 in, int16 out)."""
+    union = q | w
+    can_match = (q & w) != 0
+    popcount = (
+        (union & 1) + ((union >> 1) & 1) + ((union >> 2) & 1) + ((union >> 3) & 1)
+    )
+    return jnp.where(can_match, amb_unit_i * (popcount - 1), mutation_i).astype(jnp.int16)
+
+
+def _pen_core_i16(q_codes, w_codes, n, m, ints, band, tile, interpret, xchunk=1):
+    """Fixed-point pen pipeline: int16 penalty tensor streamed through the
+    grid, int16 DP state, exact int32 per-diagonal ungapped sums.  `ints` is
+    the static integer-unit tuple from _quantize_params; outputs stay in
+    scaled integer units (callers divide by the scale)."""
+    b = q_codes.shape[0]
+    lq = q_codes.shape[1]
+    mutation_i = jnp.int32(ints[0])
+    amb_unit_i = jnp.int32(ints[1])
+
+    def pen_step(acc, x):
+        q_char = jax.lax.dynamic_slice_in_dim(q_codes, x, 1, axis=1)
+        w_slice = jax.lax.dynamic_slice_in_dim(w_codes, x, band, axis=1)
+        pen_x = _base_penalty_i16(q_char, w_slice, mutation_i, amb_unit_i)
+        acc = acc + jnp.where(x < n, pen_x.astype(jnp.int32), 0)
+        return acc, pen_x
+
+    diag_sums, pen = jax.lax.scan(
+        pen_step, jnp.zeros((b, band), jnp.int32), jnp.arange(lq)
+    )
+
+    while xchunk > 1 and (lq % xchunk != 0 or xchunk * tile * band * 2 > 2 * 2**20):
+        xchunk //= 2
+    grid = (b // tile, lq // xchunk)
+    kernel = functools.partial(
+        _pen_kernel_x_i16, band=band, lq=lq, xchunk=xchunk, ints=tuple(ints)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (xchunk, tile, band), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 1), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((tile, band), jnp.int16),
+            pltpu.VMEM((tile, band), jnp.int16),
+            pltpu.VMEM((tile, 1), jnp.int16),
+        ],
+        interpret=interpret,
+    )(pen, n, m)
+    return out[:, 0], diag_sums
+
+
 def _pen_core(q_codes, w_codes, n, m, params_vec, band, tile, interpret, xchunk=1):
     # xchunk > 1 amortizes grid-step overhead but was measured a wash on real
     # hardware (device/tunnel variance dominates) and Mosaic stack-allocates
@@ -480,6 +676,23 @@ def _pen_core(q_codes, w_codes, n, m, params_vec, band, tile, interpret, xchunk=
     return out[:, 0], diag_sums
 
 
+@functools.partial(jax.jit, static_argnames=("band", "tile", "interpret", "quant"))
+def _banded_scores_pallas_pen_i16(q_codes, w_codes, n, m, band, tile, interpret, quant):
+    """Fixed-point pen entry: uint8 codes in, (scores [B] f32, diag_sums
+    [B, BAND] f32) out in unscaled penalty units.  `quant` is the static
+    (scale, int-units) pair from _quantize_params."""
+    scale, ints = quant
+    scores_i, diag_i = _pen_core_i16(
+        q_codes.astype(jnp.int32), w_codes.astype(jnp.int32), n, m,
+        ints, band, tile, interpret,
+    )
+    inv = np.float32(1.0) / np.float32(scale)
+    scores = jnp.where(
+        scores_i >= INF16, BIG, scores_i.astype(jnp.float32) * inv
+    )
+    return scores, diag_i.astype(jnp.float32) * inv
+
+
 @functools.partial(jax.jit, static_argnames=("band", "tile", "interpret"))
 def _banded_scores_pallas_pen(q_codes, w_codes, n, m, params_vec, band, tile, interpret):
     # accept uint8 codes: converting on-device inside this jit keeps the wire
@@ -493,7 +706,7 @@ def _banded_scores_pallas_pen(q_codes, w_codes, n, m, params_vec, band, tile, in
 
 def _gathered_core(
     reads_u8, concat_u8, read_id, reversed_, win_start, lane, n, m, params_vec,
-    *, band, tile, interpret, use_pallas,
+    *, band, tile, interpret, use_pallas, quant=None,
 ):
     """Fused candidate scoring against a device-resident reference.
 
@@ -525,7 +738,14 @@ def _gathered_core(
     w_idx = jnp.minimum(w_idx, concat_u8.shape[0] - 1)
     w_codes = concat_u8[w_idx].astype(jnp.int32)
 
-    if use_pallas:
+    if use_pallas and quant is not None:
+        scores_i, diag_i = _pen_core_i16(
+            q_codes, w_codes, n, m, quant[1], band, tile, interpret
+        )
+        inv = np.float32(1.0) / np.float32(quant[0])
+        scores = jnp.where(scores_i >= INF16, BIG, scores_i.astype(jnp.float32) * inv)
+        diag_sums = diag_i.astype(jnp.float32) * inv
+    elif use_pallas:
         scores, diag_sums = _pen_core(
             q_codes, w_codes, n, m, params_vec, band, tile, interpret
         )
@@ -551,15 +771,16 @@ def _gathered_core(
 _GATHERED_FNS: dict = {}
 
 
-def _gathered_fn(mesh, band, tile, interpret, use_pallas):
+def _gathered_fn(mesh, band, tile, interpret, use_pallas, quant=None):
     """The jitted (and, under a mesh, shard_mapped over the data axis)
     gathered-scoring callable, cached per configuration."""
-    key = (mesh, band, tile, interpret, use_pallas)
+    key = (mesh, band, tile, interpret, use_pallas, quant)
     fn = _GATHERED_FNS.get(key)
     if fn is not None:
         return fn
     core = functools.partial(
-        _gathered_core, band=band, tile=tile, interpret=interpret, use_pallas=use_pallas
+        _gathered_core, band=band, tile=tile, interpret=interpret,
+        use_pallas=use_pallas, quant=quant,
     )
     if mesh is None:
         fn = jax.jit(core)
@@ -645,7 +866,10 @@ def banded_scores_gathered(
     n_p = pad1(n, np.int32, 1).reshape(-1, 1)
     m_p = pad1(m, np.int32, 1).reshape(-1, 1)
     params_vec = np.array([[float(v) for v in _params_tuple(params)]], dtype=np.float32)
-    fn = _gathered_fn(mesh, band, tile, interpret, use_pallas)
+    quant = None
+    if use_pallas and not _int16_disabled():
+        quant = _quantize_params(params, lq, band)
+    fn = _gathered_fn(mesh, band, tile, interpret, use_pallas, quant)
     out = fn(
         reads_host, concat_dev, read_id_p, reversed_p, win_start_p, lane_p,
         n_p, m_p, params_vec,
@@ -714,9 +938,15 @@ def banded_scores(
         [[float(v) for v in _params_tuple(params)]], dtype=np.float32
     )
     if variant == "pen":
-        scores, diag_sums = _banded_scores_pallas_pen(
-            q_codes, w_codes, n, m, params_vec, band, tile, interpret
-        )
+        quant = None if _int16_disabled() else _quantize_params(params, lq_padded, band)
+        if quant is not None:
+            scores, diag_sums = _banded_scores_pallas_pen_i16(
+                q_codes, w_codes, n, m, band, tile, interpret, quant
+            )
+        else:
+            scores, diag_sums = _banded_scores_pallas_pen(
+                q_codes, w_codes, n, m, params_vec, band, tile, interpret
+            )
         if return_diag_sums:
             return scores[:b], diag_sums[:b]
         return scores[:b]

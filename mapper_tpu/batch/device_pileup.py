@@ -1,0 +1,173 @@
+"""Device-side pileup accumulation for the batch engine's fast path.
+
+The reference's MatchDatabase.groupByPosition (Mapper.java:760-784) is a
+host-side post-pass; SURVEY §2.2 maps it to a position-sharded scatter-add.
+This module keeps [2, 6, N] allele/depth accumulators resident on the device
+and scatter-adds each chunk's clean ungapped emissions (the overwhelmingly
+common alignment shape) as they are decided, overlapped with the next chunk's
+host work.  At write time the host fetches the accumulators once and merges
+them into the MatchDatabase pileups; only the rare complex alignments
+(indels, mate overlap, fractional multi-choice weights, fallback reads)
+still go through the host accumulation path.
+
+Exactness: the device path only takes weight-1.0 and weight-0.5 emissions,
+so every accumulated value is a sum of 0.5 steps — exact in float32 below
+2^23 and independent of scatter order, which keeps output byte-identical
+across device counts and pipeline orderings.  Fractional 1/num_choices
+weights (inexact in binary, order-sensitive) stay on the host float64 path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ROWS = 6  # A C G T ambiguous deletion (pileup.py row order)
+
+_READ_BUCKET = 2048  # row-count bucket (compile-size stability)
+_LQ_BUCKET = 64
+_CODES_BUCKET = 1 << 18
+
+
+class DevicePileup:
+    """Per-run device accumulator over the sequence database's concatenated
+    coordinate space (the batch engine's candidate tables fold every match
+    onto forward contigs, so only forward segments are ever hit)."""
+
+    def __init__(self, seq_db, query_end_fraction: float, device=None):
+        self.seq_db = seq_db
+        self.query_end_fraction = float(query_end_fraction)
+        self.n_concat = int(seq_db.total_size)
+        # int32 flat indices, and ~50 bytes/position of device accumulators
+        # (2 x 6 rows x f32 over the fwd+RC concatenated space): cap at 64 Mb
+        # of reference (~3.2 GB HBM); larger references keep the host path
+        if self.n_concat > 2**26 or ROWS * self.n_concat >= 2**31 - 1:
+            raise ValueError("reference too large for device pileup")
+        import threading
+
+        self._state = None  # lazily created [2, 6*N] f32 on device
+        self._device = device
+        self._update_fns: dict[int, object] = {}  # lq bucket -> jitted update
+        self.num_rows_accumulated = 0
+        # the CLI pipelines chunks on a thread pool; the donated state buffer
+        # must be threaded through updates strictly one at a time
+        self._lock = threading.Lock()
+        self._merged = False
+
+    # -- jitted update ---------------------------------------------------
+
+    def _build_update(self, lq_static: int):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        n_concat = self.n_concat
+        qef = np.float32(self.query_end_fraction)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def update(state, codes_concat, read_starts, read_id, reversed_, gstart, n, weight):
+            b = read_id.shape[0]
+            pos = jax.lax.broadcasted_iota(jnp.int32, (b, lq_static), 1)
+            src = read_starts[read_id][:, None] + pos
+            src = jnp.minimum(src, codes_concat.shape[0] - 1)
+            q = codes_concat[src].astype(jnp.int32)  # [B, LQ]
+            # reverse complement (same arithmetic as pallas_dp._gathered_core)
+            comp = (
+                ((q & 1) << 3) | ((q & 2) << 1) | ((q & 4) >> 1) | ((q & 8) >> 3)
+            )
+            rc_idx = jnp.clip(n[:, None] - 1 - pos, 0, lq_static - 1)
+            rc = jnp.take_along_axis(comp, rc_idx, axis=1)
+            codes = jnp.where(reversed_[:, None], rc, q)
+            # code -> allele row: A/C/G/T are one-hot nibbles; anything else
+            # (incl. IUPAC codes, which the batch path filters out anyway)
+            # lands on the ambiguous row
+            row = jnp.select(
+                [codes == 1, codes == 2, codes == 4, codes == 8],
+                [
+                    jnp.zeros_like(codes),
+                    jnp.ones_like(codes),
+                    jnp.full_like(codes, 2),
+                    jnp.full_like(codes, 3),
+                ],
+                jnp.full_like(codes, 4),
+            )
+            gpos = gstart[:, None] + pos
+            valid = pos < n[:, None]
+            dist_end = jnp.minimum(pos, n[:, None] - 1 - pos).astype(jnp.float32)
+            is_end = dist_end < qef * n[:, None].astype(jnp.float32)
+            flat = row * np.int32(n_concat) + gpos
+            flat = jnp.where(valid, flat, 0)
+            w = weight[:, None] * jnp.where(valid, 1.0, 0.0)
+            mid = state[0].at[flat.reshape(-1)].add(
+                jnp.where(is_end, 0.0, w).reshape(-1)
+            )
+            end = state[1].at[flat.reshape(-1)].add(
+                jnp.where(is_end, w, 0.0).reshape(-1)
+            )
+            return jnp.stack([mid, end])
+
+        return update
+
+    def add_rows(self, batch, read_id, reversed_, gstart, n, weight) -> None:
+        """Scatter one chunk's clean ungapped emissions.  `batch` is the
+        engine's ReadBatch (concatenated uint8 codes + per-read starts); the
+        remaining arrays are per-emitted-row host vectors."""
+        b = len(read_id)
+        if b == 0:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        n = np.asarray(n, dtype=np.int32)
+        lq = -(-int(n.max()) // _LQ_BUCKET) * _LQ_BUCKET
+        update_fn = self._update_fns.get(lq)
+        if update_fn is None:
+            update_fn = self._update_fns[lq] = self._build_update(lq)
+        bp = -(-b // _READ_BUCKET) * _READ_BUCKET
+        codes = batch.codes
+        cp = -(-codes.shape[0] // _CODES_BUCKET) * _CODES_BUCKET
+        if cp != codes.shape[0]:
+            codes = np.pad(codes, (0, cp - codes.shape[0]))
+
+        def pad1(a, dtype, fill=0):
+            out = np.full(bp, fill, dtype=dtype)
+            out[:b] = np.asarray(a)
+            return out
+
+        args = (
+            codes,
+            np.asarray(batch.starts[:-1], dtype=np.int32),
+            pad1(read_id, np.int32),
+            pad1(reversed_, bool),
+            pad1(gstart, np.int32),
+            pad1(n, np.int32, fill=0),  # n=0 rows contribute nothing
+            pad1(weight, np.float32, fill=0.0),
+        )
+        with self._lock:
+            if self._state is None:
+                self._state = jax.device_put(
+                    jnp.zeros((2, ROWS * self.n_concat), jnp.float32), self._device
+                )
+            self._state = update_fn(self._state, *args)
+            self.num_rows_accumulated += int(b)
+
+    # -- merge into MatchDatabase -----------------------------------------
+
+    def merge_into(self, match_database) -> None:
+        """Fetch the accumulators once and add them into the MatchDatabase's
+        per-contig pileups (float64 host arrays)."""
+        if self._state is None or self._merged:
+            return
+        self._merged = True
+        flat = np.asarray(self._state)  # [2, 6*N]: one fetch
+        state = flat.reshape(2, ROWS, self.n_concat).astype(np.float64)
+        starts = self.seq_db.starts
+        for i, seq in enumerate(self.seq_db.get_all()):
+            if seq.complemented_from is not None:
+                continue  # candidate tables never emit onto RC contigs
+            lo, hi = int(starts[i]), int(starts[i]) + len(seq)
+            if not state[:, :, lo:hi].any():
+                continue
+            pileup = match_database._pileup_for(seq)
+            pileup.middle += state[0, :, lo:hi]
+            pileup.end += state[1, :, lo:hi]

@@ -83,6 +83,10 @@ class BatchAligner:
         # across its devices (reference replicated, rows data-parallel)
         self.mesh = mesh
         self.device_candidates = device_candidates
+        # optional DevicePileup: clean weight-1.0 emissions scatter-add into
+        # device-resident accumulators per chunk instead of the host post-pass
+        # (Mapper.java:760-784 -> SURVEY §2.2 position scatter-add mapping)
+        self.device_pileup = None
         self.listeners = listeners if listeners is not None else []
         self.fallback_worker = AlignerWorker(reference_index, parameters)
         self.concat = self.seq_db.concatenated_codes()
@@ -1209,6 +1213,13 @@ class BatchAligner:
         counts_list = emit_counts.tolist()
         max_num_matches = p.max_num_matches
 
+        dp_rid: list[int] = []
+        dp_rev: list[bool] = []
+        dp_seqidx: list[int] = []
+        dp_off: list[int] = []
+        # the creator (cli.py) only attaches a DevicePileup when the run has
+        # no ancestral->original rewrite, so presence alone gates the path
+        take_device_pileup = self.device_pileup is not None
         for r in np.nonzero(eligible)[0].tolist():
             query = queries[r]
             if counts_list[r] > max_num_matches:
@@ -1244,7 +1255,31 @@ class BatchAligner:
                         seen.add(key)
                         unique.append(choice)
                 choices = unique
-            results[r] = QueryAlignments.single_component(query.get_sequences(), choices)
+            result = QueryAlignments.single_component(query.get_sequences(), choices)
+            if take_device_pileup and len(choices) == 1:
+                # weight-1.0 clean ungapped emission: count it on the device
+                # (exact in f32; see batch/device_pileup.py) and flag the
+                # result so MatchDatabase skips its host accumulation
+                c0 = ebounds[r]
+                dp_rid.append(r)
+                dp_rev.append(rev_list[c0])
+                dp_seqidx.append(seqidx_list[c0])
+                dp_off.append(off_list[c0])
+                result.device_counted = True
+            results[r] = result
+        if dp_rid:
+            seq_starts = self.seq_db.starts
+            seqidx_arr = np.array(dp_seqidx, dtype=np.int64)
+            rid_arr = np.array(dp_rid, dtype=np.int64)
+            gstart = seq_starts[seqidx_arr] + np.array(dp_off, dtype=np.int64)
+            self.device_pileup.add_rows(
+                batch,
+                rid_arr,
+                np.array(dp_rev, dtype=bool),
+                gstart,
+                batch.lengths[rid_arr],
+                np.ones(len(dp_rid), dtype=np.float32),
+            )
         mark("decisions+emit")
         return results
 

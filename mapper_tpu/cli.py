@@ -469,6 +469,7 @@ def run(
 
     listeners = []
     match_database = MatchDatabase(query_end_fraction)
+    match_database.set_contig_order(sequence_database.get_all())
     refs_counter = ReferenceAlignmentCounter()
     if out_refs_map_count_path is not None:
         listeners.append(refs_counter)
@@ -523,6 +524,20 @@ def run(
         )
         engine_obj.fallback_worker = AlignerWorker(reference_index, parameters, cache=cache)
         worker_stats = engine_obj.fallback_worker.stats
+        # device-side pileup: clean emissions scatter-add on the device per
+        # chunk instead of the host post-pass (SURVEY §2.2; Mapper.java:760-784)
+        if (
+            (out_vcf_path is not None or out_mutations_path is not None)
+            and not guess_reference_ancestors
+        ):
+            from mapper_tpu.batch.device_pileup import DevicePileup
+
+            try:
+                engine_obj.device_pileup = DevicePileup(
+                    sequence_database, query_end_fraction
+                )
+            except ValueError:
+                pass  # reference too large for int32 device pileup
     else:
         engine_obj = worker
         worker_stats = worker.stats
@@ -612,6 +627,8 @@ def run(
     if out_refs_map_count_path is not None:
         refs_counter.sum_alignments(out_refs_map_count_path)
         log(f"Saved {out_refs_map_count_path}")
+    if getattr(engine_obj, "device_pileup", None) is not None:
+        engine_obj.device_pileup.merge_into(match_database)
     display_coverage = None
     if out_vcf_path is not None:
         t_pileup = time.time()

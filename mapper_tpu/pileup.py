@@ -89,6 +89,13 @@ class MatchDatabase:
         self._buffers: dict[int, list] = {}
         self._fast: list = []
         self._grouped = False
+        self._contig_order: dict[int, int] | None = None
+
+    def set_contig_order(self, sequences) -> None:
+        """Canonical contig output order (the reference database order):
+        makes group_by_position's ordering independent of which accumulation
+        path (host scatter vs device merge) first touched each contig."""
+        self._contig_order = {id(s): i for i, s in enumerate(sequences)}
 
     def add_alignments(self, results: list[QueryAlignments]) -> None:
         self._pending.extend(results)
@@ -101,7 +108,11 @@ class MatchDatabase:
         self._pending = []
         self._flush_fast()
         self._flush_buffers()
-        return {p.sequence: p for p in self.pileups.values()}
+        pileups = list(self.pileups.values())
+        if self._contig_order is not None:
+            order = self._contig_order
+            pileups.sort(key=lambda p: order.get(id(p.sequence), len(order)))
+        return {p.sequence: p for p in pileups}
 
     def _flush_fast(self) -> None:
         """Columnar accumulation of the dominant alignment shape — one
@@ -189,6 +200,10 @@ class MatchDatabase:
         return buf
 
     def _accumulate(self, query_alignments: QueryAlignments) -> None:
+        # results already counted by the batch engine's DevicePileup
+        # scatter-adds (batch/device_pileup.py) skip host accumulation
+        if getattr(query_alignments, "device_counted", False):
+            return
         for component_alignments in query_alignments.get_alignments():
             n_choices = len(component_alignments)
             if n_choices == 0:

@@ -158,6 +158,93 @@ def test_gathered_scoring_matches_host_windows():
     banded_got, ung_got = pallas_dp.banded_scores_gathered(
         reads, concat_dev, read_id, reversed_, win_start, lane, n, w_len,
         params, band=band, tile=8, interpret=True, read_bucket=8,
+        use_pallas=True,
     )
     np.testing.assert_array_equal(np.asarray(banded_got), banded_ref)
     np.testing.assert_array_equal(np.asarray(ung_got), ung_ref)
+
+    # the f32 jnp path (what CPU-backend runs use) must agree to rounding
+    banded_f32, ung_f32 = pallas_dp.banded_scores_gathered(
+        reads, concat_dev, read_id, reversed_, win_start, lane, n, w_len,
+        params, band=band, tile=8, interpret=True, read_bucket=8,
+        use_pallas=False,
+    )
+    np.testing.assert_allclose(np.asarray(banded_f32), banded_ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ung_f32), ung_ref, atol=1e-4)
+
+
+def test_quantize_params():
+    """Fixed-point quantizer: defaults are 1/30-rational; irrational or
+    oversized-budget parameter sets fall back to None (f32 kernel)."""
+    p = AlignmentParameters.defaults()
+    quant = pallas_dp._quantize_params(p, 192, 64)
+    assert quant == (30, (30, 1, 63, 18, 60, 15))
+    # budget too large for the saturation ceiling -> f32 fallback
+    assert pallas_dp._quantize_params(p, 2048, 64) is None
+    # not exactly representable at any scale <= 1024
+    import math
+
+    p_pi = AlignmentParameters.defaults(mutation_penalty=math.pi)
+    assert pallas_dp._quantize_params(p_pi, 192, 64) is None
+
+
+def test_int16_kernel_matches_f32(monkeypatch):
+    """The int16 fixed-point pen kernel (interpret mode) must agree with the
+    f32 kernel to rounding on SNP- and indel-bearing batches, and exactly
+    reproduce integer-unit scores."""
+    rng = np.random.default_rng(5)
+    params = AlignmentParameters.defaults(max_error_rate=1.0)
+    lq, shift, band, tile = 64, 8, 32, 8
+    batch_q, batch_w, ns, ms = [], [], [], []
+    for i in range(16):
+        n = int(rng.integers(40, lq))
+        q, w = random_pair(
+            rng, n, shift, num_snps=int(rng.integers(0, 4)), indel=int(rng.integers(0, 3))
+        )
+        batch_q.append(np.pad(q, (0, lq - q.shape[0])))
+        batch_w.append(np.pad(w, (0, lq + band - w.shape[0])))
+        ns.append(q.shape[0])
+        ms.append(w.shape[0])
+    q_arr, w_arr = np.stack(batch_q), np.stack(batch_w)
+    n_arr, m_arr = np.array(ns), np.array(ms)
+
+    scores_i16, diag_i16 = pallas_dp.banded_scores(
+        q_arr, w_arr, n_arr, m_arr, params, band=band, tile=tile,
+        use_pallas=True, interpret=True, return_diag_sums=True,
+    )
+    monkeypatch.setenv("MAPPER_TPU_NO_INT16", "1")
+    scores_f32, diag_f32 = pallas_dp.banded_scores(
+        q_arr, w_arr, n_arr, m_arr, params, band=band, tile=tile,
+        use_pallas=True, interpret=True, return_diag_sums=True,
+    )
+    s16, s32 = np.asarray(scores_i16), np.asarray(scores_f32)
+    np.testing.assert_allclose(s16, s32, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(diag_i16), np.asarray(diag_f32), atol=1e-3)
+    # int16 scores are exact integer counts of 1/scale
+    scale = 6  # defaults at max_error_rate=1.0
+    assert pallas_dp._quantize_params(params, lq, band)[0] == scale
+    finite = s16 < 1e8
+    assert finite.any()
+    np.testing.assert_allclose(
+        s16[finite] * scale, np.round(s16[finite] * scale), atol=1e-3
+    )
+
+
+def test_int16_saturation_reports_big():
+    """Saturated rows (score beyond the int16 ceiling) must come back as BIG
+    (treated as no-alignment), never a small wrapped value."""
+    params = AlignmentParameters.defaults(max_error_rate=1.0)
+    band, tile = 16, 8
+    lq = 2048  # budget check fails -> quantizer refuses (saturation unsafe)
+    assert pallas_dp._quantize_params(params, lq, band) is None
+    # at a safe length, an all-mismatch read scores n * mutation exactly
+    lq = 64
+    q = np.full(lq, 1, dtype=np.uint8)  # all A
+    w = np.full(lq + band, 2, dtype=np.uint8)  # all C
+    scores = np.asarray(
+        pallas_dp.banded_scores(
+            q[None], w[None], np.array([lq]), np.array([lq + band]), params,
+            band=band, tile=tile, use_pallas=True, interpret=True,
+        )
+    )
+    assert scores[0] == 64.0
