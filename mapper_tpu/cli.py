@@ -123,6 +123,9 @@ def main(argv: list[str] | None = None) -> int:
     alignment_verbosity = 0
     reference_verbosity = 0
     auto_verbose = False
+    num_processes = 1
+    process_id = 0
+    coordinator = None
 
     i = 0
     while i < len(args):
@@ -243,6 +246,20 @@ def main(argv: list[str] | None = None) -> int:
         elif arg == "--num-threads":
             num_threads = int(args[i + 1])
             i += 2
+        elif arg == "--num-processes":
+            # multi-process / multi-host data parallelism: each process
+            # aligns a round-robin share of the query stream and process 0
+            # merges outputs in exact 1-process order (parallel/multihost.py)
+            num_processes = int(args[i + 1])
+            if num_processes < 1:
+                usage_error("--num-processes must be >= 1")
+            i += 2
+        elif arg == "--process-id":
+            process_id = int(args[i + 1])
+            i += 2
+        elif arg == "--coordinator":
+            coordinator = args[i + 1]
+            i += 2
         elif arg == "--devices":
             # the TPU-native analog of --num-threads: shard candidate scoring
             # over a data mesh of N chips (the reference's scale knob is N
@@ -325,9 +342,15 @@ def main(argv: list[str] | None = None) -> int:
         max_penalty_span=None if max_penalty_span < 0 else max_penalty_span,
     )
 
+    if not (0 <= process_id < num_processes):
+        usage_error("--process-id must be in [0, --num-processes)")
+
     return run(
         engine=engine,
         num_devices=num_devices,
+        num_processes=num_processes,
+        process_id=process_id,
+        coordinator=coordinator,
         alignment_verbosity=alignment_verbosity,
         reference_verbosity=reference_verbosity,
         auto_verbose=auto_verbose,
@@ -379,6 +402,9 @@ def run(
     verify_consistent_database,
     start_time,
     num_devices="auto",
+    num_processes=1,
+    process_id=0,
+    coordinator=None,
     alignment_verbosity=0,
     reference_verbosity=0,
     auto_verbose=False,
@@ -388,6 +414,17 @@ def run(
     log = lambda message: print(message, file=sys.stderr)
     stderr_writer = StderrWriter()
     reference_logger = Logger(stderr_writer, 0, reference_verbosity)
+
+    distributed = num_processes > 1
+    if distributed:
+        from mapper_tpu.parallel import multihost
+
+        log(f"Process {process_id}/{num_processes} (round-robin query sharding)")
+        if coordinator:
+            multihost.initialize(coordinator, num_processes, process_id)
+
+    def shard_path(base: str, k: int) -> str:
+        return f"{base}.shard{k}"
     log("Loading reference")
     reference_provider = fastx.load_from(reference_paths, keep_quality=False)
     sorted_reference = sort_and_complement(b.build() for b in reference_provider)
@@ -482,19 +519,37 @@ def run(
     listeners.append(indel_summarizer)
     sam_writer = None
     sam_stream = None
+    sam_shard = None
     if out_sam_path is not None:
-        sam_stream = sys.stdout if out_sam_path == "-" else open(out_sam_path, "wt")
-        sam_writer = SamWriter(
-            sequence_database, sam_stream, queries.get_contains_paired_end_reads()
-        )
-        listeners.append(sam_writer)
+        contains_paired = queries.get_contains_paired_end_reads()
+        if distributed:
+            from mapper_tpu.parallel.multihost import ShardedResultWriter
+
+            sam_shard = ShardedResultWriter(
+                lambda stream: SamWriter(sequence_database, stream, contains_paired)
+            )
+            listeners.append(sam_shard)
+        else:
+            sam_stream = sys.stdout if out_sam_path == "-" else open(out_sam_path, "wt")
+            sam_writer = SamWriter(sequence_database, sam_stream, contains_paired)
+            listeners.append(sam_writer)
     unaligned_writer = None
     if out_unaligned_path is not None:
+        unaligned_path = (
+            shard_path(out_unaligned_path, process_id)
+            if distributed
+            else out_unaligned_path
+        )
         unaligned_writer = UnalignedQueryWriter(
-            out_unaligned_path, queries.all_reads_contain_quality_information()
+            unaligned_path, queries.all_reads_contain_quality_information()
         )
         listeners.append(unaligned_writer)
     listeners.append(match_counter)
+
+    if distributed:
+        from mapper_tpu.parallel.multihost import RoundRobinQueries
+
+        queries = RoundRobinQueries(queries, process_id, num_processes)
 
     cache = AlignmentCache()
     worker = AlignerWorker(reference_index, parameters, listeners, cache)
@@ -607,7 +662,8 @@ def run(
 
     for query_builder in queries:
         num_loaded += 1
-        query_builder.set_id(num_loaded)
+        if not distributed:  # RoundRobinQueries already set the global id
+            query_builder.set_id(num_loaded)
         batch.append(query_builder.build())
         batch_bases += batch[-1].get_length()
         if batch_bases >= max_bases_per_batch:
@@ -624,11 +680,56 @@ def run(
 
     # --- outputs ---------------------------------------------------------
 
+    if getattr(engine_obj, "device_pileup", None) is not None:
+        engine_obj.device_pileup.merge_into(match_database)
+
+    needs_pileup = out_vcf_path is not None or out_mutations_path is not None
+    if distributed:
+        # cross-process merge (parallel/multihost.py): every process saves its
+        # shards + a done marker; process 0 waits and merges in global order
+        from mapper_tpu.parallel import multihost
+
+        if sam_shard is not None:
+            sam_shard.save_shard(shard_path(out_sam_path, process_id) + ".pkl")
+        if needs_pileup and process_id != 0:
+            base = out_vcf_path or out_mutations_path
+            multihost.save_pileup_shard(
+                match_database, shard_path(base, process_id) + ".pkl"
+            )
+        marker_base = out_sam_path or out_vcf_path or out_mutations_path or out_unaligned_path
+        if marker_base is not None:
+            with open(shard_path(marker_base, process_id) + ".done", "w") as f:
+                f.write("done\n")
+        if coordinator:
+            multihost.barrier("mapper_tpu_outputs")
+        if process_id != 0:
+            log(f"Process {process_id} done (shards saved; process 0 merges)")
+            if unaligned_writer is not None:
+                unaligned_writer.close()
+            return 0
+        # process 0: wait for every shard, then merge
+        if marker_base is not None:
+            multihost.wait_for_files(
+                [shard_path(marker_base, k) + ".done" for k in range(1, num_processes)]
+            )
+        if sam_shard is not None:
+            sam_stream = (
+                sys.stdout if out_sam_path == "-" else open(out_sam_path, "wt")
+            )
+            multihost.merge_sam_shards(
+                [shard_path(out_sam_path, k) + ".pkl" for k in range(num_processes)],
+                sam_stream,
+            )
+        if needs_pileup:
+            base = out_vcf_path or out_mutations_path
+            multihost.merge_pileup_shards(
+                match_database,
+                [shard_path(base, k) + ".pkl" for k in range(1, num_processes)],
+            )
+
     if out_refs_map_count_path is not None:
         refs_counter.sum_alignments(out_refs_map_count_path)
         log(f"Saved {out_refs_map_count_path}")
-    if getattr(engine_obj, "device_pileup", None) is not None:
-        engine_obj.device_pileup.merge_into(match_database)
     display_coverage = None
     if out_vcf_path is not None:
         t_pileup = time.time()

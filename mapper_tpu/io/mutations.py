@@ -158,7 +158,7 @@ class MutationsWriter:
 
         # insertions: events keyed by (position, text); middle-of-read support
         # passing the start thresholds
-        for (pos, text), (middle_w, end_w, _example) in sorted(pileup.insertions.items()):
+        for (pos, text), (middle_w, end_w, *_example) in sorted(pileup.insertions.items()):
             if middle_w <= 0:
                 continue
             depth = middle_totals[pos] if pos < n else middle_totals[n - 1]

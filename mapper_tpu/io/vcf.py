@@ -91,7 +91,7 @@ class VcfWriter:
         matched = int(np.count_nonzero(covered_mask))
 
         insertions_by_pos: dict[int, list[tuple[str, float, float, str]]] = {}
-        for (pos, text), (mid_w, end_w, example) in pileup.insertions.items():
+        for (pos, text), (mid_w, end_w, example, *_gid) in pileup.insertions.items():
             insertions_by_pos.setdefault(pos, []).append((text, mid_w, end_w, example))
 
         # --- vectorized fast path: positions whose only observed allele is

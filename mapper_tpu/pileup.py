@@ -95,7 +95,9 @@ class MatchDatabase:
         """Canonical contig output order (the reference database order):
         makes group_by_position's ordering independent of which accumulation
         path (host scatter vs device merge) first touched each contig."""
+        sequences = list(sequences)
         self._contig_order = {id(s): i for i, s in enumerate(sequences)}
+        self._contig_sequences = sequences
 
     def add_alignments(self, results: list[QueryAlignments]) -> None:
         self._pending.extend(results)
@@ -309,8 +311,10 @@ class MatchDatabase:
                     overlap_range[0] <= block.start_b < overlap_range[1]
                 ):
                     w = weight * 0.5
+                # 4th element: global query id of the first contributor, so
+                # multi-process merges can keep the 1-process example read
                 entry = pileup.insertions.setdefault(
-                    (position, text), [0.0, 0.0, read_name]
+                    (position, text), [0.0, 0.0, read_name, query.identifier]
                 )
                 if is_end:
                     entry[1] += w

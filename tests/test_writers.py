@@ -244,7 +244,7 @@ def test_vcf_vectorized_fast_path_matches_plain_loop(tmp_path):
         end_depth = pileup.end.sum(axis=0)
         covered = np.nonzero(middle_depth + end_depth > 0)[0]
         ins_by_pos = {}
-        for (pos, t), (mw, ew, ex) in pileup.insertions.items():
+        for (pos, t), (mw, ew, ex, *_gid) in pileup.insertions.items():
             ins_by_pos.setdefault(pos, []).append((t, mw, ew, ex))
         out = []
         for pos in covered.tolist():
