@@ -525,7 +525,10 @@ class BatchAligner:
         deferred: list[int] = []
         e_row0, e_row1 = row0[emit], row1[emit]
         e_spacing = spacing[emit]
+        e_inner = combos["inner"][emit]
         ebounds = np.searchsorted(emit_pair, np.arange(num_pairs + 1))
+        dp_rows: list[int] = []  # candidate-table rows to count on the device
+        take_device_pileup = self.device_pileup is not None
         for pi in range(num_pairs):
             if not nonempty[pi]:
                 continue  # no pairing at all: sequential fallback (mate rescue)
@@ -546,7 +549,35 @@ class BatchAligner:
                         float(e_spacing[c]), float(pen0[c]), float(pen1[c]),
                     )
                 )
-            results[pi] = QueryAlignments.single_component(query.get_sequences(), choices)
+            result = QueryAlignments.single_component(query.get_sequences(), choices)
+            if (
+                take_device_pileup
+                and len(choices) == 1
+                and choices[0] is not None
+                and int(ebounds[pi + 1]) - int(ebounds[pi]) == 1
+                and e_inner[int(ebounds[pi])] >= 0  # no mate overlap on the ref
+            ):
+                c0 = int(ebounds[pi])
+                dp_rows.append(int(e_row0[c0]))
+                dp_rows.append(int(e_row1[c0]))
+                result.device_counted = True
+            results[pi] = result
+
+        if dp_rows:
+            rows_arr = np.array(dp_rows, dtype=np.int64)
+            rid = table.read_id[rows_arr]
+            seq_starts = self.seq_db.starts
+            gstart = (
+                seq_starts[table.ref_seq_index[rows_arr]] + table.offset[rows_arr]
+            )
+            self.device_pileup.add_rows(
+                batch,
+                rid,
+                table.reversed_[rows_arr],
+                gstart,
+                batch.lengths[rid],
+                np.ones(rows_arr.shape[0], dtype=np.float32),
+            )
 
         for pi in deferred:
             results[pi] = self._align_paired_pair_exact(

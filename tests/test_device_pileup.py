@@ -130,3 +130,41 @@ def test_cli_batch_device_pileup_matches_exact_vcf(tmp_path):
         outs[engine] = (vcf.read_text(), mut.read_text())
     assert outs["batch"][0] == outs["exact"][0], "VCF diverged (device pileup)"
     assert outs["batch"][1] == outs["exact"][1], "mutations diverged"
+
+
+def test_cli_paired_device_pileup_matches_exact_vcf(tmp_path):
+    from mapper_tpu.cli import main
+
+    rng = np.random.default_rng(29)
+    ref_text = random_text(25000, 37)
+    ref = tmp_path / "ref.fasta"
+    ref.write_text(">p1\n" + ref_text + "\n")
+    r1 = tmp_path / "r1.fasta"
+    r2 = tmp_path / "r2.fasta"
+    l1, l2 = [], []
+    for i in range(150):
+        pos = int(rng.integers(0, 25000 - 400))
+        frag = list(ref_text[pos : pos + 350])
+        for _ in range(int(rng.integers(0, 4))):
+            frag[int(rng.integers(0, 350))] = "ACGT"[int(rng.integers(0, 4))]
+        frag = "".join(frag)
+        l1.append(f">p{i}/1\n{frag[:120]}\n")
+        l2.append(f">p{i}/2\n{rc_text(frag[-120:])}\n")
+    r1.write_text("".join(l1))
+    r2.write_text("".join(l2))
+
+    outs = {}
+    for engine in ("batch", "exact"):
+        vcf = tmp_path / f"pout_{engine}.vcf"
+        rc = main(
+            [
+                "--reference", str(ref),
+                "--paired-queries", str(r1), str(r2),
+                "--spacing", "110", "50",
+                "--out-vcf", str(vcf),
+                "--engine", engine,
+            ]
+        )
+        assert rc == 0
+        outs[engine] = vcf.read_text()
+    assert outs["batch"] == outs["exact"], "paired VCF diverged (device pileup)"

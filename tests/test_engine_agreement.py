@@ -160,3 +160,66 @@ def test_long_read_agreement():
     for i, q in enumerate(queries):
         exact = worker.align(q)
         assert summarize(batch_results[i]) == summarize(exact), i
+
+
+def test_agreement_fuzz_large():
+    """Large randomized agreement fuzz (VERDICT r2 item 5): thousands of
+    reads with SNPs, indels, N bases, RC and unalignable junk through both
+    engines; every summarized alignment set must match.  CI runs 2500 reads;
+    set MAPPER_TPU_FUZZ_N=10000 for the full sweep (recorded in BENCH.md)."""
+    import os
+
+    n_reads = int(os.environ.get("MAPPER_TPU_FUZZ_N", "2500"))
+    rng = np.random.default_rng(20260820)
+    ref_text = random_text(60000, rng)
+    index = Api.new_database({"f1": ref_text[:35000], "f2": ref_text[35000:]})
+    params = AlignmentParameters.defaults()
+
+    reads = []
+    for i in range(n_reads):
+        if rng.random() < 0.6:
+            contig_start, contig_len = 0, 35000
+        else:
+            contig_start, contig_len = 35000, 25000
+        length = int(rng.integers(100, 190))
+        pos = int(rng.integers(0, contig_len - length - 20))
+        read = list(ref_text[contig_start + pos : contig_start + pos + length + 10])
+        kind = rng.random()
+        if kind < 0.45:  # SNP-laden (0-6)
+            for _ in range(int(rng.integers(0, 7))):
+                j = int(rng.integers(0, len(read)))
+                read[j] = "ACGT"[int(rng.integers(0, 4))]
+        elif kind < 0.70:  # indel rich (1-3 events)
+            for _ in range(int(rng.integers(1, 4))):
+                j = int(rng.integers(10, len(read) - 12))
+                if rng.random() < 0.5:
+                    del read[j : j + int(rng.integers(1, 4))]
+                else:
+                    for _k in range(int(rng.integers(1, 4))):
+                        read.insert(j, "ACGT"[int(rng.integers(0, 4))])
+        elif kind < 0.80:  # SNPs + an N
+            read[int(rng.integers(0, len(read)))] = "N"
+            for _ in range(int(rng.integers(0, 3))):
+                j = int(rng.integers(0, len(read)))
+                read[j] = "ACGT"[int(rng.integers(0, 4))]
+        elif kind < 0.90:  # heavy error (8-14 SNPs): near the accept boundary
+            for _ in range(int(rng.integers(8, 15))):
+                j = int(rng.integers(0, len(read)))
+                read[j] = "ACGT"[int(rng.integers(0, 4))]
+        else:  # junk
+            read = list(random_text(length, rng))
+        text = "".join(read[:length])
+        if rng.random() < 0.5:
+            text = basepairs.decode(basepairs.reverse_complement(basepairs.encode(text)))
+        reads.append(Sequence.from_text(f"z{i}", text))
+
+    sequential = AlignerWorker(index, params)
+    engine = BatchAligner(index, params)
+    batch_results = engine.process_batch([Query(r) for r in reads])
+    mismatches = []
+    for i, read in enumerate(reads):
+        expected = summarize(sequential.align(Query(read)))
+        got = summarize(batch_results[i])
+        if got != expected:
+            mismatches.append((i, got, expected))
+    assert not mismatches, (len(mismatches), mismatches[:3])
