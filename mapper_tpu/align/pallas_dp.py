@@ -40,10 +40,31 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e9
 
 
+_INT16_BROKEN = False  # set when the backend's Mosaic build rejects int16
+
+
 def _int16_disabled() -> bool:
     import os
 
-    return os.environ.get("MAPPER_TPU_NO_INT16") == "1"
+    return _INT16_BROKEN or os.environ.get("MAPPER_TPU_NO_INT16") == "1"
+
+
+def _mark_int16_broken(e: Exception) -> None:
+    """The current remote TPU toolchain's Mosaic build crashes on int16
+    vector minimum/compare/sub ops (service-side tpu_compile_helper exit 1 —
+    see BENCH.md).  On the first such failure, permanently fall back to the
+    f32 kernel for this process; interpret-mode (tests) and future toolchains
+    keep the int16 path."""
+    global _INT16_BROKEN
+    _INT16_BROKEN = True
+    import sys
+
+    print(
+        f"mapper_tpu: int16 kernel unavailable on this backend "
+        f"({str(e)[:120]}); using f32 kernel",
+        file=sys.stderr,
+        flush=True,
+    )
 
 
 def _base_penalty(q, w, mutation, ambiguity):
@@ -870,10 +891,20 @@ def banded_scores_gathered(
     if use_pallas and not _int16_disabled():
         quant = _quantize_params(params, lq, band)
     fn = _gathered_fn(mesh, band, tile, interpret, use_pallas, quant)
-    out = fn(
-        reads_host, concat_dev, read_id_p, reversed_p, win_start_p, lane_p,
-        n_p, m_p, params_vec,
-    )
+    try:
+        out = fn(
+            reads_host, concat_dev, read_id_p, reversed_p, win_start_p, lane_p,
+            n_p, m_p, params_vec,
+        )
+    except Exception as e:
+        if quant is None:
+            raise
+        _mark_int16_broken(e)
+        fn = _gathered_fn(mesh, band, tile, interpret, use_pallas, None)
+        out = fn(
+            reads_host, concat_dev, read_id_p, reversed_p, win_start_p, lane_p,
+            n_p, m_p, params_vec,
+        )
     if stacked:
         try:
             out.copy_to_host_async()
@@ -940,10 +971,14 @@ def banded_scores(
     if variant == "pen":
         quant = None if _int16_disabled() else _quantize_params(params, lq_padded, band)
         if quant is not None:
-            scores, diag_sums = _banded_scores_pallas_pen_i16(
-                q_codes, w_codes, n, m, band, tile, interpret, quant
-            )
-        else:
+            try:
+                scores, diag_sums = _banded_scores_pallas_pen_i16(
+                    q_codes, w_codes, n, m, band, tile, interpret, quant
+                )
+            except Exception as e:
+                _mark_int16_broken(e)
+                quant = None
+        if quant is None:
             scores, diag_sums = _banded_scores_pallas_pen(
                 q_codes, w_codes, n, m, params_vec, band, tile, interpret
             )
