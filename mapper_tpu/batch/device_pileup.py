@@ -33,9 +33,10 @@ class DevicePileup:
     coordinate space (the batch engine's candidate tables fold every match
     onto forward contigs, so only forward segments are ever hit)."""
 
-    def __init__(self, seq_db, query_end_fraction: float, device=None):
+    def __init__(self, seq_db, query_end_fraction: float, device=None, mesh=None):
         self.seq_db = seq_db
         self.query_end_fraction = float(query_end_fraction)
+        self.mesh = mesh  # shard scatter rows over the data axis; psum at merge
         self.n_concat = int(seq_db.total_size)
         # int32 flat indices, and ~50 bytes/position of device accumulators
         # (2 x 6 rows x f32 over the fwd+RC concatenated space): cap at 64 Mb
@@ -64,8 +65,7 @@ class DevicePileup:
         n_concat = self.n_concat
         qef = np.float32(self.query_end_fraction)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def update(state, codes_concat, read_starts, read_id, reversed_, gstart, n, weight):
+        def core(state, codes_concat, read_starts, read_id, reversed_, gstart, n, weight):
             b = read_id.shape[0]
             pos = jax.lax.broadcasted_iota(jnp.int32, (b, lq_static), 1)
             src = read_starts[read_id][:, None] + pos
@@ -106,7 +106,31 @@ class DevicePileup:
             )
             return jnp.stack([mid, end])
 
-        return update
+        if self.mesh is None:
+            return jax.jit(core, donate_argnums=(0,))
+
+        # mesh: rows shard over the data axis, each device scatters into its
+        # own accumulator copy ([D, 2, 6N] sharded on axis 0); the psum merge
+        # happens once at fetch time (parallel/mesh.reduce_pileup)
+        from jax.sharding import PartitionSpec as P
+
+        from mapper_tpu.parallel.mesh import _shard_map
+
+        row = P("data")
+        rep = P()
+
+        def sharded(state, codes_concat, read_starts, read_id, reversed_, gstart, n, weight):
+            def inner(st, codes_c, rs, rid, rev, gs, nn, wt):
+                return core(st[0], codes_c, rs, rid, rev, gs, nn, wt)[None]
+
+            return _shard_map(
+                inner,
+                self.mesh,
+                in_specs=(P("data"), rep, rep, row, row, row, row, row),
+                out_specs=P("data"),
+            )(state, codes_concat, read_starts, read_id, reversed_, gstart, n, weight)
+
+        return jax.jit(sharded, donate_argnums=(0,))
 
     def add_rows(self, batch, read_id, reversed_, gstart, n, weight) -> None:
         """Scatter one chunk's clean ungapped emissions.  `batch` is the
@@ -124,6 +148,8 @@ class DevicePileup:
         if update_fn is None:
             update_fn = self._update_fns[lq] = self._build_update(lq)
         bp = -(-b // _READ_BUCKET) * _READ_BUCKET
+        if self.mesh is not None and bp % self.mesh.size:
+            bp = -(-bp // self.mesh.size) * self.mesh.size
         codes = batch.codes
         cp = -(-codes.shape[0] // _CODES_BUCKET) * _CODES_BUCKET
         if cp != codes.shape[0]:
@@ -145,9 +171,20 @@ class DevicePileup:
         )
         with self._lock:
             if self._state is None:
-                self._state = jax.device_put(
-                    jnp.zeros((2, ROWS * self.n_concat), jnp.float32), self._device
-                )
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    self._state = jax.device_put(
+                        jnp.zeros(
+                            (self.mesh.size, 2, ROWS * self.n_concat), jnp.float32
+                        ),
+                        NamedSharding(self.mesh, P("data")),
+                    )
+                else:
+                    self._state = jax.device_put(
+                        jnp.zeros((2, ROWS * self.n_concat), jnp.float32),
+                        self._device,
+                    )
             self._state = update_fn(self._state, *args)
             self.num_rows_accumulated += int(b)
 
@@ -159,7 +196,14 @@ class DevicePileup:
         if self._state is None or self._merged:
             return
         self._merged = True
-        flat = np.asarray(self._state)  # [2, 6*N]: one fetch
+        if self.mesh is not None:
+            # the per-device accumulator copies merge with a psum over the
+            # data axis — the listener fan-in of SURVEY §2.2
+            from mapper_tpu.parallel.mesh import reduce_pileup
+
+            flat = np.asarray(reduce_pileup(self.mesh, self._state))[0]
+        else:
+            flat = np.asarray(self._state)  # [2, 6*N]: one fetch
         state = flat.reshape(2, ROWS, self.n_concat).astype(np.float64)
         starts = self.seq_db.starts
         for i, seq in enumerate(self.seq_db.get_all()):

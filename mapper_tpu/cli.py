@@ -589,7 +589,7 @@ def run(
 
             try:
                 engine_obj.device_pileup = DevicePileup(
-                    sequence_database, query_end_fraction
+                    sequence_database, query_end_fraction, mesh=mesh
                 )
             except ValueError:
                 pass  # reference too large for int32 device pileup
