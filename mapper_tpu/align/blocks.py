@@ -384,8 +384,14 @@ class QueryAlignments:
 
     # device_counted: set by the batch engine when this result's depth was
     # already scatter-added on the device (batch/device_pileup.py) — the host
-    # MatchDatabase then skips it
-    __slots__ = ("query_sequences", "alignments_per_component", "device_counted")
+    # MatchDatabase then skips it.  via_exact: resolved by the exact per-pair
+    # machinery rather than the batch fast path (stats only).
+    __slots__ = (
+        "query_sequences",
+        "alignments_per_component",
+        "device_counted",
+        "via_exact",
+    )
 
     def __init__(self, query_sequences: list[Sequence], alignments_per_component: list[list[QueryAlignment]]):
         self.query_sequences = query_sequences

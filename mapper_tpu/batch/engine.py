@@ -92,6 +92,10 @@ class BatchAligner:
         self.concat = self.seq_db.concatenated_codes()
         self.stats_fallback_reads = 0
         self.stats_batch_reads = 0
+        # queries fully resolved by the batch fast path (no exact-worker
+        # involvement) — the analog of the reference's "Immediately accepted"
+        # optimistic fast-path counter (Mapper.java:843-845)
+        self.stats_batch_resolved = 0
         self._ref_cache: dict[int, tuple] = {}
 
     # ------------------------------------------------------------------
@@ -142,6 +146,7 @@ class BatchAligner:
                     fallback_indices.append(i)
                 else:
                     results[i] = batch_results[local]
+                    self.stats_batch_resolved += 1
 
         if paired_indices:
             paired_queries = [queries[i] for i in paired_indices]
@@ -151,6 +156,8 @@ class BatchAligner:
                     fallback_indices.append(i)
                 else:
                     results[i] = paired_results[local]
+                    if not getattr(paired_results[local], "via_exact", False):
+                        self.stats_batch_resolved += 1
 
         for i in fallback_indices:
             self.stats_fallback_reads += 1
@@ -703,7 +710,15 @@ class BatchAligner:
 
         return SequenceAlignment([block], reversed_flag, penalty, penalty)
 
-    def _align_paired_pair_exact(
+    def _align_paired_pair_exact(self, query, components, table, combos, pair_index: int):
+        result = self._align_paired_pair_exact_inner(
+            query, components, table, combos, pair_index
+        )
+        if result is not None:
+            result.via_exact = True
+        return result
+
+    def _align_paired_pair_exact_inner(
         self, query, components, table, combos, pair_index: int
     ) -> QueryAlignments | None:
         """Exact per-pair path over this pair's combos (discovery order):

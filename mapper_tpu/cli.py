@@ -808,10 +808,15 @@ def run(
         )
     )
     log(table.format())
+    # fast-path fraction (Mapper.java:843-845): batch-resolved queries plus
+    # the exact worker's optimistic immediate accepts
+    num_immediate = worker_stats.num_immediately_accepted + getattr(
+        engine_obj, "stats_batch_resolved", 0
+    )
     log(
         f" Immediately accepted          : "
-        f"{worker_stats.num_immediately_accepted * 100 // max(1, num_queries)}% alignments "
-        f"({worker_stats.num_immediately_accepted}/{num_queries})"
+        f"{num_immediate * 100 // max(1, num_queries)}% alignments "
+        f"({num_immediate}/{num_queries})"
     )
     log(
         f" Alignment cache usage         : {worker_stats.num_cache_hits} loaded, "
