@@ -43,10 +43,19 @@ BIG = 1e9
 _INT16_BROKEN = False  # set when the backend's Mosaic build rejects int16
 
 
-def _int16_disabled() -> bool:
+def _int16_disabled(interpret: bool = False) -> bool:
+    """The int16 kernel is exercised in interpret mode (tests) and available
+    by opt-in (MAPPER_TPU_INT16=1) on real hardware.  It is NOT default-on
+    for real TPU compiles: the current axon service's Mosaic build HANGS
+    (not merely errors) on int16 compare/min/sub vector ops, so a runtime
+    try/except cannot protect the production path (BENCH.md, int16 section)."""
     import os
 
-    return _INT16_BROKEN or os.environ.get("MAPPER_TPU_NO_INT16") == "1"
+    if _INT16_BROKEN or os.environ.get("MAPPER_TPU_NO_INT16") == "1":
+        return True
+    if interpret:
+        return False
+    return os.environ.get("MAPPER_TPU_INT16") != "1"
 
 
 def _mark_int16_broken(e: Exception) -> None:
@@ -888,7 +897,7 @@ def banded_scores_gathered(
     m_p = pad1(m, np.int32, 1).reshape(-1, 1)
     params_vec = np.array([[float(v) for v in _params_tuple(params)]], dtype=np.float32)
     quant = None
-    if use_pallas and not _int16_disabled():
+    if use_pallas and not _int16_disabled(interpret):
         quant = _quantize_params(params, lq, band)
     fn = _gathered_fn(mesh, band, tile, interpret, use_pallas, quant)
     try:
@@ -969,7 +978,7 @@ def banded_scores(
         [[float(v) for v in _params_tuple(params)]], dtype=np.float32
     )
     if variant == "pen":
-        quant = None if _int16_disabled() else _quantize_params(params, lq_padded, band)
+        quant = None if _int16_disabled(interpret) else _quantize_params(params, lq_padded, band)
         if quant is not None:
             try:
                 scores, diag_sums = _banded_scores_pallas_pen_i16(
