@@ -29,18 +29,35 @@ _CODES_BUCKET = 1 << 18
 
 
 class DevicePileup:
-    """Per-run device accumulator over the sequence database's concatenated
-    coordinate space (the batch engine's candidate tables fold every match
-    onto forward contigs, so only forward segments are ever hit)."""
+    """Per-run device accumulator over a compact forward-only coordinate
+    space (the batch engine's candidate tables fold every match onto forward
+    contigs, so RC segments are never hit — excluding them halves the HBM
+    footprint and the merge-time fetch)."""
 
     def __init__(self, seq_db, query_end_fraction: float, device=None, mesh=None):
         self.seq_db = seq_db
         self.query_end_fraction = float(query_end_fraction)
         self.mesh = mesh  # shard scatter rows over the data axis; psum at merge
-        self.n_concat = int(seq_db.total_size)
-        # int32 flat indices, and ~50 bytes/position of device accumulators
-        # (2 x 6 rows x f32 over the fwd+RC concatenated space): cap at 64 Mb
-        # of reference (~3.2 GB HBM); larger references keep the host path
+        # compact coordinates: forward sequences only, packed in db order.
+        # _delta maps a db-global position to its compact position
+        # (compact = global + _delta[seq_index]; RC rows keep INT64_MIN so an
+        # accidental RC emission fails loudly rather than corrupting counts)
+        starts = seq_db.starts
+        fwd = [s.complemented_from is None for s in seq_db.get_all()]
+        delta = np.full(len(fwd), np.iinfo(np.int64).min, dtype=np.int64)
+        compact = 0
+        self._fwd_compact_starts: list[tuple[int, int, int]] = []  # (db_i, lo, hi)
+        for i, is_fwd in enumerate(fwd):
+            if is_fwd:
+                length = int(starts[i + 1] - starts[i])
+                delta[i] = compact - int(starts[i])
+                self._fwd_compact_starts.append((i, compact, compact + length))
+                compact += length
+        self._delta = delta
+        self.n_concat = compact  # compact forward-only size
+        # int32 flat indices, and ~25 bytes/position of device accumulators
+        # (2 x 6 rows x f32 over the forward space): cap at 64 Mb of
+        # reference (~1.6 GB HBM); larger references keep the host path
         if self.n_concat > 2**26 or ROWS * self.n_concat >= 2**31 - 1:
             raise ValueError("reference too large for device pileup")
         import threading
@@ -48,6 +65,7 @@ class DevicePileup:
         self._state = None  # lazily created [2, 6*N] f32 on device
         self._device = device
         self._update_fns: dict[int, object] = {}  # lq bucket -> jitted update
+        self._fetch_fn = None
         self.num_rows_accumulated = 0
         # the CLI pipelines chunks on a thread pool; the donated state buffer
         # must be threaded through updates strictly one at a time
@@ -143,6 +161,10 @@ class DevicePileup:
         import jax.numpy as jnp
 
         n = np.asarray(n, dtype=np.int32)
+        # remap db-global start positions into the compact forward space
+        gstart = np.asarray(gstart, dtype=np.int64)
+        seq_idx = np.searchsorted(self.seq_db.starts, gstart, side="right") - 1
+        gstart = gstart + self._delta[seq_idx]
         lq = -(-int(n.max()) // _LQ_BUCKET) * _LQ_BUCKET
         update_fn = self._update_fns.get(lq)
         if update_fn is None:
@@ -152,6 +174,11 @@ class DevicePileup:
             bp = -(-bp // self.mesh.size) * self.mesh.size
         codes = batch.codes
         cp = -(-codes.shape[0] // _CODES_BUCKET) * _CODES_BUCKET
+        # monotone bucket: a run's tail chunk is smaller than the full chunks
+        # before it — pad up to the largest size seen so it reuses the
+        # already-loaded program instead of compiling a new shape
+        cp = max(cp, getattr(self, "_codes_pad", 0))
+        self._codes_pad = cp
         if cp != codes.shape[0]:
             codes = np.pad(codes, (0, cp - codes.shape[0]))
 
@@ -192,26 +219,48 @@ class DevicePileup:
 
     def merge_into(self, match_database) -> None:
         """Fetch the accumulators once and add them into the MatchDatabase's
-        per-contig pileups (float64 host arrays)."""
+        per-contig pileups (float64 host arrays).
+
+        Tunnel economics (BENCH.md): the raw f32 state is 48 bytes/position —
+        hundreds of MB for a bacterial genome, tens of seconds through the
+        tunnel.  Every accumulated value is a sum of 0.5 steps (exact in f32),
+        so doubling on-device yields small exact integers; the fetch ships
+        them as uint16 (4x fewer bytes) with an on-device max as the overflow
+        guard, falling back to the full f32 fetch only if any doubled count
+        exceeds 65535 (depth > 32767 at one position)."""
         if self._state is None or self._merged:
             return
         self._merged = True
+        import jax
+        import jax.numpy as jnp
+
         if self.mesh is not None:
             # the per-device accumulator copies merge with a psum over the
             # data axis — the listener fan-in of SURVEY §2.2
             from mapper_tpu.parallel.mesh import reduce_pileup
 
-            flat = np.asarray(reduce_pileup(self.mesh, self._state))[0]
+            flat_dev = reduce_pileup(self.mesh, self._state)[0]
         else:
-            flat = np.asarray(self._state)  # [2, 6*N]: one fetch
-        state = flat.reshape(2, ROWS, self.n_concat).astype(np.float64)
-        starts = self.seq_db.starts
-        for i, seq in enumerate(self.seq_db.get_all()):
-            if seq.complemented_from is not None:
-                continue  # candidate tables never emit onto RC contigs
-            lo, hi = int(starts[i]), int(starts[i]) + len(seq)
+            flat_dev = self._state  # [2, 6*N] on device
+
+        if self._fetch_fn is None:
+
+            def fetch(state):
+                doubled = state * np.float32(2.0)
+                mx = jnp.max(doubled)
+                u16 = jnp.minimum(doubled, np.float32(65535.0)).astype(jnp.uint16)
+                return u16, mx
+
+            self._fetch_fn = jax.jit(fetch)
+        u16_dev, mx_dev = self._fetch_fn(flat_dev)
+        if float(np.asarray(mx_dev)) <= 65535.0:
+            flat = np.asarray(u16_dev).astype(np.float64) * 0.5
+        else:  # pragma: no cover - depth > 32767 at one position
+            flat = np.asarray(flat_dev).astype(np.float64)
+        state = flat.reshape(2, ROWS, self.n_concat)
+        for i, lo, hi in self._fwd_compact_starts:
             if not state[:, :, lo:hi].any():
                 continue
-            pileup = match_database._pileup_for(seq)
+            pileup = match_database._pileup_for(self.seq_db.get_sequence(i))
             pileup.middle += state[0, :, lo:hi]
             pileup.end += state[1, :, lo:hi]

@@ -976,6 +976,13 @@ class BatchAligner:
             q_mat = np.zeros((num_reads, lq), dtype=np.uint8)
             for r, seq in enumerate(seqs):
                 q_mat[r, : len(seq)] = seq.codes
+            # on the real TPU, pad the read matrix all the way to the pipeline
+            # chunk bucket: a run's tail chunk would otherwise produce a new
+            # (padded_r) shape whose one-time remote program load (~15 s on
+            # the axon service) lands serially at the END of the run
+            read_bucket = 256
+            if on_tpu and self.pipeline_chunk_reads:
+                read_bucket = self.pipeline_chunk_reads
             stacked_dev = pallas_dp.banded_scores_gathered(
                 q_mat,
                 self._concat_device(),
@@ -991,6 +998,7 @@ class BatchAligner:
                 mesh=self.mesh,
                 use_pallas=on_tpu,
                 stacked=True,
+                read_bucket=read_bucket,
             )
             return {
                 "stacked_dev": stacked_dev,
@@ -1345,3 +1353,90 @@ def _tables(database):
     from mapper_tpu.batch.candidates import _strand_tables
 
     return _strand_tables(database)
+
+
+class ScoringWarmup:
+    """Holder for the async one-time device setup started by
+    start_scoring_warmup: `concat_dev` is the uploaded reference buffer the
+    engine should adopt (BatchAligner._concat_dev) to avoid a second upload."""
+
+    def __init__(self):
+        self.concat_dev = None
+        self.thread = None
+
+
+def start_scoring_warmup(
+    seq_db,
+    parameters,
+    read_length: int,
+    paired: bool = False,
+    tile: int = 1024,
+    chunk: int = 2048,
+    band: int | None = None,
+    mesh=None,
+) -> ScoringWarmup:
+    """Start the one-time device costs (reference upload + scoring program
+    compile/load + first execution) on a background thread so they overlap
+    index build and query parsing.
+
+    On the remote TPU service the first execution of a program stalls
+    10-60 s (service-side program load; BENCH.md "Compile/load economics") —
+    paid serially at the first chunk unless started here.  The dummy call
+    reproduces the production call's static shapes (read bucket, candidate
+    tile, lq bucket, band, reference length); a mispredicted read length
+    just wastes the warmup."""
+    import jax
+
+    holder = ScoringWarmup()
+    if jax.default_backend() != "tpu":
+        return holder
+    concat = seq_db.concatenated_codes()
+
+    def run():
+        try:
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                holder.concat_dev = jax.device_put(
+                    concat, NamedSharding(mesh, PartitionSpec())
+                )
+            else:
+                holder.concat_dev = jax.device_put(concat)
+            p = parameters
+            total = (2 * read_length) if paired else read_length
+            max_indel = max(
+                0,
+                int(
+                    (total * p.max_error_rate - p.deletion_start_penalty)
+                    / p.deletion_extension_penalty
+                ),
+            )
+            b_ = band if band is not None else (64 if max_indel <= 31 else 128)
+            read_bucket = (2 * chunk) if paired else chunk
+            lq = -(-int(read_length) // 64) * 64
+            out = pallas_dp.banded_scores_gathered(
+                np.zeros((1, lq), dtype=np.uint8),
+                holder.concat_dev,
+                np.zeros(1, np.int32),
+                np.zeros(1, bool),
+                np.zeros(1, np.int32),
+                np.zeros(1, np.int32),
+                np.full(1, read_length, np.int32),
+                np.full(1, min(read_length + b_, len(concat)), np.int32),
+                p,
+                band=b_,
+                tile=tile,
+                mesh=mesh,
+                use_pallas=True,
+                stacked=True,
+                read_bucket=read_bucket,
+            )
+            np.asarray(out)
+        except Exception:  # pragma: no cover - warmup must never break a run
+            pass
+
+    import threading
+
+    holder.thread = threading.Thread(target=run, daemon=True)
+    holder.thread.start()
+    return holder

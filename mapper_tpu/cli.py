@@ -9,6 +9,7 @@ Usage matches the reference jar:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -81,6 +82,35 @@ def _parse_threshold_subflags(args: list[str], i: int, params: MutationDetection
         else:
             break
     return i
+
+
+class _PeekedQueries:
+    """A QueryProvider view that re-serves one builder peeked off `inner`
+    (used to learn the read shape for the device warmup without perturbing
+    the stream order)."""
+
+    def __init__(self, inner, first):
+        self.inner = inner
+        self._first = first
+
+    def get_next_query_builder(self):
+        if self._first is not None:
+            first, self._first = self._first, None
+            return first
+        return self.inner.get_next_query_builder()
+
+    def get_contains_paired_end_reads(self) -> bool:
+        return self.inner.get_contains_paired_end_reads()
+
+    def all_reads_contain_quality_information(self) -> bool:
+        return self.inner.all_reads_contain_quality_information()
+
+    def __iter__(self):
+        while True:
+            builder = self.get_next_query_builder()
+            if builder is None:
+                return
+            yield builder
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -438,6 +468,25 @@ def run(
             )
             return 1
 
+    queries = QueriesIterator(query_providers)
+    scoring_warmup = None
+    if engine == "batch":
+        # peek the first query's shape and start the one-time device costs
+        # (reference upload + scoring-program load, 10-60 s on the remote
+        # service) on a background thread NOW, overlapping the index build
+        # and query parsing (BENCH.md "Compile/load economics")
+        peeked = queries.get_next_query_builder()
+        if peeked is not None:
+            queries = _PeekedQueries(queries, peeked)
+            from mapper_tpu.batch.engine import start_scoring_warmup
+
+            scoring_warmup = start_scoring_warmup(
+                sequence_database,
+                parameters,
+                max(b.get_length() for b in peeked.builders),
+                paired=len(peeked.builders) == 2,
+            )
+
     dir_cache = DirCache(cache_dir) if cache_dir else None
     min_dup = choose_min_duplication_length(sequence_database)
     max_dup = choose_max_duplication_length(sequence_database)
@@ -501,8 +550,6 @@ def run(
         window_size=1000,
     )
     reference_index.duplication_detector = approximate_dups
-
-    queries = QueriesIterator(query_providers)
 
     listeners = []
     match_database = MatchDatabase(query_end_fraction)
@@ -577,12 +624,30 @@ def run(
         engine_obj = BatchAligner(
             reference_index, parameters, listeners=listeners, mesh=mesh
         )
+        if (
+            scoring_warmup is not None
+            and scoring_warmup.concat_dev is not None
+            and mesh is None
+            # the ancestral engine aligns against the overridden sequences —
+            # same shapes (so the warmed program is reused) but different
+            # bytes, so its buffer must not be adopted
+            and not guess_reference_ancestors
+        ):
+            # adopt the warmup's uploaded reference buffer (same seq_db, same
+            # bytes) instead of paying a second multi-MB H2D transfer
+            engine_obj._concat_dev = scoring_warmup.concat_dev
         engine_obj.fallback_worker = AlignerWorker(reference_index, parameters, cache=cache)
         worker_stats = engine_obj.fallback_worker.stats
-        # device-side pileup: clean emissions scatter-add on the device per
-        # chunk instead of the host post-pass (SURVEY §2.2; Mapper.java:760-784)
+        # device-side pileup (opt-in): clean emissions scatter-add on the
+        # device per chunk (SURVEY §2.2; Mapper.java:760-784).  Measured on
+        # the real TPU, the XLA scatter costs ~1 s of device time per
+        # 2048-read chunk on a 4.6 Mb reference — far more than the host
+        # differential accumulation in pileup.py::_flush_fast (O(endpoints +
+        # mismatches) per read), so the host path is the production default
+        # (BENCH.md "Pileup economics").
         if (
-            (out_vcf_path is not None or out_mutations_path is not None)
+            os.environ.get("MAPPER_TPU_DEVICE_PILEUP") == "1"
+            and (out_vcf_path is not None or out_mutations_path is not None)
             and not guess_reference_ancestors
         ):
             from mapper_tpu.batch.device_pileup import DevicePileup

@@ -119,8 +119,19 @@ class MatchDatabase:
     def _flush_fast(self) -> None:
         """Columnar accumulation of the dominant alignment shape — one
         full-length ungapped block, no mate overlap (what the batch engine
-        emits) — grouped by (contig, strand, read length) so each group is a
-        single broadcasted scatter-add."""
+        emits).
+
+        Differential trick: a clean ungapped read's contribution is a *range*
+        of depth whose allele equals the reference base everywhere except at
+        its few mismatches.  So instead of scattering one point per aligned
+        base (O(read_len) per read), add the read as two endpoints in a
+        per-contig difference array (prefix-summed once per flush into the
+        reference-allele rows) plus sparse corrections where the read row
+        differs from the reference row — O(1 + mismatches) per read, ~100x
+        fewer scatter points at 1% SNP.  Exact for power-of-two weights (the
+        prefix sums and cancellations stay exact in float64); other weights
+        (1/3-choice reads etc.) keep the direct per-base scatter so float
+        results are identical to the per-block path."""
         groups: dict[tuple, list] = {}
         for seq_alignment, weight in self._fast:
             block = seq_alignment.sections[0]
@@ -133,6 +144,8 @@ class MatchDatabase:
                 seq_alignment
             )
         self._fast = []
+        # per-contig difference arrays, filled across groups, summed once
+        diffs: dict[int, tuple] = {}  # id(pileup) -> (pileup, diff_mid, diff_end)
         for (_, folded, length, weight), items in groups.items():
             ref = items[0].get_sequence_b()
             pileup = self._pileup_for(ref)
@@ -146,14 +159,72 @@ class MatchDatabase:
             if folded:
                 codes = basepairs.COMPLEMENT_TABLE[codes]
             rows = _CODE_TO_ROW[codes].astype(idt)
-            positions = starts[:, None] + np.arange(length, dtype=idt)[None, :]
-            if folded:
-                positions = idt(ref_len - 1) - positions
             # the end-of-read mask is symmetric and contiguous at both read
             # ends: [0, lo) and [length - lo, length)
             j = np.arange(length)
             is_end = np.minimum(j, length - 1 - j) < self.query_end_fraction * length
             lo = int(np.argmin(is_end)) if not is_end.all() else length
+
+            import math
+
+            dyadic = weight > 0 and math.frexp(weight)[0] == 0.5
+            if dyadic and 2 * lo < length:
+                key = id(pileup)
+                entry = diffs.get(key)
+                if entry is None:
+                    entry = diffs[key] = (
+                        pileup,
+                        np.zeros(n + 1),
+                        np.zeros(n + 1),
+                    )
+                _, diff_mid, diff_end = entry
+                # forward-contig start of the read's window (folding maps the
+                # descending positions onto the same contiguous range)
+                fwd_start = (
+                    (ref_len - starts - length).astype(np.int64)
+                    if folded
+                    else starts.astype(np.int64)
+                )
+                # end ranges [s, s+lo) and [s+length-lo, s+length);
+                # middle range [s+lo, s+length-lo)
+                np.add.at(diff_mid, fwd_start + lo, weight)
+                np.add.at(diff_mid, fwd_start + length - lo, -weight)
+                if lo:
+                    np.add.at(diff_end, fwd_start, weight)
+                    np.add.at(diff_end, fwd_start + lo, -weight)
+                    np.add.at(diff_end, fwd_start + length - lo, weight)
+                    np.add.at(diff_end, fwd_start + length, -weight)
+                # sparse corrections where the read row differs from the
+                # reference row (reference rows are cached on the pileup)
+                rref = self._ref_rows(pileup)
+                positions = starts[:, None] + np.arange(length, dtype=idt)[None, :]
+                if folded:
+                    positions = idt(ref_len - 1) - positions
+                mism = rows != rref[positions]
+                if mism.any():
+                    mid_mask = np.zeros(length, dtype=bool)
+                    mid_mask[lo : length - lo] = True
+                    for target, mask in (
+                        (pileup.middle, mism & mid_mask[None, :]),
+                        (pileup.end, mism & ~mid_mask[None, :]),
+                    ):
+                        if not mask.any():
+                            continue
+                        pos_m = positions[mask].astype(np.int64)
+                        flat = target.reshape(-1)
+                        np.add.at(
+                            flat, rows[mask].astype(np.int64) * n + pos_m, weight
+                        )
+                        np.add.at(
+                            flat,
+                            rref[positions[mask]].astype(np.int64) * n + pos_m,
+                            -weight,
+                        )
+                continue
+
+            positions = starts[:, None] + np.arange(length, dtype=idt)[None, :]
+            if folded:
+                positions = idt(ref_len - 1) - positions
             flat = rows * idt(n) + positions
             middle_flat = pileup.middle.reshape(-1)
             np.add.at(middle_flat, flat[:, lo : length - lo].reshape(-1), weight)
@@ -161,6 +232,25 @@ class MatchDatabase:
                 end_flat = pileup.end.reshape(-1)
                 np.add.at(end_flat, flat[:, :lo].reshape(-1), weight)
                 np.add.at(end_flat, flat[:, length - lo :].reshape(-1), weight)
+
+        # one prefix-sum per touched contig turns the difference arrays into
+        # depth, added onto each position's reference-allele row
+        for pileup, diff_mid, diff_end in diffs.values():
+            n = pileup.middle.shape[1]
+            rref = self._ref_rows(pileup)
+            cols = np.arange(n)
+            depth_mid = np.cumsum(diff_mid[:-1])
+            pileup.middle[rref, cols] += depth_mid
+            depth_end = np.cumsum(diff_end[:-1])
+            pileup.end[rref, cols] += depth_end
+
+    def _ref_rows(self, pileup: ContigPileup) -> np.ndarray:
+        """Cached allele-row of each reference base of a forward contig."""
+        rref = getattr(pileup, "_ref_rows", None)
+        if rref is None:
+            rref = _CODE_TO_ROW[pileup.sequence.codes]
+            pileup._ref_rows = rref
+        return rref
 
     def _flush_buffers(self) -> None:
         """One scatter-add per accumulator array instead of one per block:

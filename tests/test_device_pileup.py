@@ -93,7 +93,10 @@ def test_device_pileup_matches_host_fast_path():
         np.testing.assert_array_equal(dev_p.end, host_p.end)
 
 
-def test_cli_batch_device_pileup_matches_exact_vcf(tmp_path):
+def test_cli_batch_device_pileup_matches_exact_vcf(tmp_path, monkeypatch):
+    # the device scatter path is opt-in in production (host differential
+    # accumulation measured faster through the tunnel; BENCH.md)
+    monkeypatch.setenv("MAPPER_TPU_DEVICE_PILEUP", "1")
     from mapper_tpu.cli import main
 
     rng = np.random.default_rng(23)
@@ -132,7 +135,8 @@ def test_cli_batch_device_pileup_matches_exact_vcf(tmp_path):
     assert outs["batch"][1] == outs["exact"][1], "mutations diverged"
 
 
-def test_cli_paired_device_pileup_matches_exact_vcf(tmp_path):
+def test_cli_paired_device_pileup_matches_exact_vcf(tmp_path, monkeypatch):
+    monkeypatch.setenv("MAPPER_TPU_DEVICE_PILEUP", "1")
     from mapper_tpu.cli import main
 
     rng = np.random.default_rng(29)
