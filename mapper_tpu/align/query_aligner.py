@@ -179,10 +179,21 @@ class QueryMatchAligner:
         if total_used > max_allowed:
             return None
         if len(result_components) > 1:
-            actual_inner = (
-                result_components[1].get_start_index_b()
-                - result_components[0].get_end_index_b()
-            )
+            # QueryMatch_Aligner.java:261-265 computes this in each
+            # component's own sequenceB space; a reverse-strand pair's
+            # components live on the RC contig there (reading left-to-right
+            # again), which in our forward-folded coordinates is the mirrored
+            # difference when component 0 aligned the reverse strand
+            if result_components[0].is_reference_reversed():
+                actual_inner = (
+                    result_components[0].get_start_index_b()
+                    - result_components[1].get_end_index_b()
+                )
+            else:
+                actual_inner = (
+                    result_components[1].get_start_index_b()
+                    - result_components[0].get_end_index_b()
+                )
         else:
             actual_inner = 0
         return QueryAlignment(

@@ -675,7 +675,15 @@ class BatchAligner:
                 return None
             parts.append(alignment)
         total = parts[0].get_penalty() + parts[1].get_penalty() + spacing_penalty
-        actual_inner = parts[1].get_start_index_b() - parts[0].get_end_index_b()
+        # the reference computes actualInnerDistance in each component's own
+        # sequenceB space (QueryMatch_Aligner.java:261-265), where a
+        # reverse-strand pair's components live on the RC contig and read
+        # left-to-right again; in our forward-folded coordinates that is the
+        # mirrored difference when component 0 aligned the reverse strand
+        if parts[0].is_reference_reversed():
+            actual_inner = parts[0].get_start_index_b() - parts[1].get_end_index_b()
+        else:
+            actual_inner = parts[1].get_start_index_b() - parts[0].get_end_index_b()
         return QueryAlignment(parts, spacing_penalty, 1.0, 0.0, total, actual_inner)
 
     def _ref_and_original(self, ref_index: int):
