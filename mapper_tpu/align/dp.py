@@ -93,18 +93,16 @@ def _choose_search_reverse(
 ) -> bool:
     """PathAligner.chooseSearchReverse (java:17-53): search from the end where
     mismatches are denser; defaults to reverse."""
-    n_mismatch = n_match = 0
-    sum_mismatch = sum_match = 0
-    for i in range(overlap_length):
-        j = i - diagonal
-        if 0 <= j < rc.shape[0]:
-            if not basepairs.can_match(qc[i], rc[j]):
-                sum_mismatch += i
-                n_mismatch += 1
-            else:
-                sum_match += i
-                n_match += 1
+    i = np.arange(overlap_length, dtype=np.int64)
+    j = i - diagonal
+    valid = (j >= 0) & (j < rc.shape[0])
+    iv = i[valid]
+    mism = (qc[iv] & rc[j[valid]]) == 0
+    n_mismatch = int(np.count_nonzero(mism))
+    n_match = int(iv.shape[0]) - n_mismatch
     if n_mismatch > 1 and n_match > 1:
+        sum_mismatch = int(iv[mism].sum())
+        sum_match = int(iv.sum()) - sum_mismatch
         return (sum_mismatch // n_mismatch) > (sum_match // n_match)
     return True
 

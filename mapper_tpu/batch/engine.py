@@ -1247,6 +1247,112 @@ class BatchAligner:
         emit_counts = np.bincount(table.read_id[emit], minlength=num_reads)
 
         results: list[QueryAlignments | None] = [None] * num_reads
+
+        # ---- exact-DP finalization for isolated gapped winners ----------
+        # A read whose single emitted candidate wins with an indel only needs
+        # a traceback the banded kernel does not produce; running the
+        # sequential engine's own per-candidate driver (QueryMatchAligner
+        # .align on the voted position — identical window geometry, budgets,
+        # tie rules) yields the alignment the exact path would emit at
+        # ~1/100th of the full worker's per-read cost (the worker re-walks
+        # the pyramid in Python; BENCH.md "Hard data").  Gated to reads whose
+        # decision is robust against kernel f32 error: a unique emitted row
+        # with margin, comfortably under the accept threshold, interior to
+        # the contig, inside the certified band.
+        GAP_MARGIN = 0.05
+        gap_reads = bad_reads & (best_per_read <= read_max_allowed - GAP_MARGIN)
+        if fallback_reads is not None:
+            gap_reads &= ~fallback_reads
+        if np.any(gap_reads):
+            from mapper_tpu.align.candidates import QueryMatch, SequenceMatch
+            from mapper_tpu.align.query_aligner import QueryMatchAligner
+
+            margin_row = viable & (
+                score <= best_per_read[table.read_id] + p.max_penalty_span + GAP_MARGIN
+            )
+            for r in np.nonzero(gap_reads)[0].tolist():
+                # all competitive rows must form ONE locus (same strand and
+                # contig, offsets within the indel budget of each other —
+                # an indel read's seeds legitimately vote 2+ neighboring
+                # diagonals of the same placement) with no contig-edge row
+                all_rows = order[starts[r] : ends[r]].tolist()
+                # edge candidates' kernel scores are clamped-window
+                # approximations — a within-span soft-clip alternative could
+                # hide behind an overestimate, so any edge row at all keeps
+                # the full worker path (it owns contig-edge economics)
+                if any(at_edge[rr] for rr in all_rows):
+                    continue
+                rows_r = [int(rr) for rr in all_rows if margin_row[rr]]
+                if not rows_r:
+                    continue
+                mi = int(max_indel_read[r])
+                offs = [int(table.offset[rr]) for rr in rows_r]
+                if (
+                    len({(bool(table.reversed_[rr]), int(table.ref_seq_index[rr])) for rr in rows_r}) > 1
+                    or max(offs) - min(offs) > mi
+                ):
+                    continue
+                c = min(rows_r, key=lambda rr: (score[rr], rr))
+                seqidx = int(table.ref_seq_index[c])
+                ref, original = self._ref_and_original(seqidx)
+                if original is not ref:
+                    continue  # ancestral rewrite: keep the full worker path
+                query = queries[r]
+                seq = query.get_sequence(0)
+                rev = bool(table.reversed_[c])
+                seq_a = seq.reverse_complement() if rev else seq
+                o = int(table.offset[c])
+                qma = QueryMatchAligner(query, p, self.reference_index)
+                qa = qma.align(QueryMatch([SequenceMatch(seq_a, ref, o, True)], 1))
+                if qa is None:
+                    continue
+                choices = qma.get_best_alignments()
+                # the exact result must corroborate the kernel's decision
+                if (
+                    len(choices) != 1
+                    or abs(choices[0].get_penalty() - best_per_read[r]) > GAP_MARGIN
+                ):
+                    continue
+                # the sequential engine's voted offset can be a NEIGHBORING
+                # diagonal of the same locus (indel-shifted seeds), and
+                # equal-penalty tracebacks are offset-sensitive (the
+                # predicted diagonal steers PathAligner's tie-breaking).
+                # Emit only if every plausible predicted offset — the other
+                # vote rows of this locus and the alignment's own
+                # gapless-run diagonals — reproduces the identical alignment.
+                offsets = set()
+                mi = int(max_indel_read[r])
+                for rr in order[starts[r] : ends[r]].tolist():
+                    if (
+                        bool(table.reversed_[rr]) == rev
+                        and int(table.ref_seq_index[rr]) == seqidx
+                        and abs(int(table.offset[rr]) - o) <= mi
+                    ):
+                        offsets.add(int(table.offset[rr]))
+                comp = choices[0].get_component(0)
+                for s in comp.sections:
+                    if s.length_a == s.length_b and s.length_a > 0:
+                        offsets.add(int(s.start_b - s.start_a))
+                offsets.discard(o)
+                key0 = choices[0].content_key()
+                pen0 = choices[0].get_penalty()
+                ok = True
+                for o2 in offsets:
+                    alt = QueryMatchAligner(query, p, self.reference_index).align(
+                        QueryMatch([SequenceMatch(seq_a, ref, o2, True)], 1)
+                    )
+                    if (
+                        alt is None
+                        or alt.content_key() != key0
+                        or alt.get_penalty() != pen0
+                    ):
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                results[r] = QueryAlignments.single_component(
+                    query.get_sequences(), choices
+                )
         emit_sorted = emit[order]
         eligible = nonempty & ~bad_reads & (emit_counts > 0)
         if fallback_reads is not None:
