@@ -542,6 +542,8 @@ def run(
             )
         reference_index = ReferenceIndex(sequence_database, hashblock_database, None)
 
+    if os.environ.get("MAPPER_TPU_TRACE") == "1":
+        log(f"[cli] reference index ready: {time.time() - start_time:.1f}s")
     approximate_dups = DuplicationDetector(
         hashblock_database,
         min_dup,

@@ -113,6 +113,10 @@ class AncestryDetector:
         }
         self._original_by_override: dict[int, Sequence] = {}
         self._result: HashBlockDatabase | None = None
+        # (entries, starts) per sequence: the duplication list is fixed once
+        # detection ran, and rebuilding the starts list per neighbor query
+        # made the bounds computation O(duplications) per walk
+        self._entries_cache: dict[int, tuple] = {}
 
     # --- ReferenceProvider interface -------------------------------------
 
@@ -161,12 +165,22 @@ class AncestryDetector:
         return HashBlockDatabase(seq_db, enable_gapmers=self.enable_gapmers)
 
     def _entries_for(self, sequence: Sequence):
-        return self.duplication_detector.get_interesting_duplications_on_sequence(sequence)
+        cached = self._entries_cache.get(id(sequence))
+        if cached is None:
+            entries = self.duplication_detector.get_interesting_duplications_on_sequence(
+                sequence
+            )
+            cached = (entries, [start for start, _ in entries])
+            self._entries_cache[id(sequence)] = cached
+        return cached[0]
 
-    def _interesting_neighbor(self, entries, index: int, direction: int):
+    def _starts_for(self, sequence: Sequence):
+        self._entries_for(sequence)
+        return self._entries_cache[id(sequence)][1]
+
+    def _interesting_neighbor(self, entries, starts, index: int, direction: int):
         """getInterestingDuplicationStartingBefore/After (java:353-380):
         nearest entry in the given direction with >= 3 instances."""
-        starts = [start for start, _ in entries]
         while True:
             if direction < 0:
                 i = bisect.bisect_left(starts, index) - 1
@@ -184,18 +198,19 @@ class AncestryDetector:
     ) -> SimilarityAnalysis | None:
         """computeAnalysisBounds (java:382-424)."""
         entries = self._entries_for(sequence)
+        starts_list = self._starts_for(sequence)
         middle = start_index + duplication.length // 2
         if polarity > 0:
             initial = middle + 1
             bound = len(sequence)
-            neighbor = self._interesting_neighbor(entries, start_index, +1)
+            neighbor = self._interesting_neighbor(entries, starts_list, start_index, +1)
             if neighbor is not None:
                 next_middle = neighbor[0] + neighbor[1].length // 2
                 bound = (middle + next_middle) // 2 + 1
         else:
             initial = middle
             bound = -1
-            neighbor = self._interesting_neighbor(entries, start_index, -1)
+            neighbor = self._interesting_neighbor(entries, starts_list, start_index, -1)
             if neighbor is not None:
                 prev_middle = neighbor[0] + neighbor[1].length // 2
                 bound = (prev_middle + middle) // 2
@@ -229,7 +244,7 @@ class AncestryDetector:
                 continue
             available.append(analysis)
             entries = self._entries_for(sequence)
-            starts = [s for s, _ in entries]
+            starts = self._starts_for(sequence)
             i = bisect.bisect_left(starts, start_index)
             if i < len(entries) and entries[i][0] == start_index and entries[i][1] is duplication:
                 interested.add(id(analysis))

@@ -300,7 +300,12 @@ class DuplicationDetector:
             seq_idx = int(np.searchsorted(seq_starts, encoded, side="right")) - 1
             start = int(encoded - seq_starts[seq_idx])
             entries = self._by_sequence.setdefault(seq_idx, [])
-            starts = [e[0] for e in entries]
+            # persistent parallel starts list (rebuilding it per inserted
+            # position made saveDuplications quadratic on repeat-rich data);
+            # every del/insert below mutates both lists in lockstep
+            starts = self._starts_by_sequence.get(seq_idx)
+            if starts is None or len(starts) != len(entries):
+                starts = self._starts_by_sequence[seq_idx] = [e[0] for e in entries]
             insert = True
             # remove worse neighbors below (floor side)
             while True:
@@ -334,6 +339,7 @@ class DuplicationDetector:
                     entries[k] = (start, dup)
                 else:
                     entries.insert(k, (start, dup))
+                    starts.insert(k, start)
 
     def _compare(self, start1: int, dup1: Duplication, start2: int, dup2: Duplication) -> int:
         """compareDuplications (java:406-436): positive means dup2 is better."""
