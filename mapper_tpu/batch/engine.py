@@ -1085,14 +1085,15 @@ class BatchAligner:
         if getattr(self, "_concat_dev", None) is None:
             import jax
 
+            padded = _pad_concat(self.concat)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 self._concat_dev = jax.device_put(
-                    self.concat, NamedSharding(self.mesh, PartitionSpec())
+                    padded, NamedSharding(self.mesh, PartitionSpec())
                 )
             else:
-                self._concat_dev = jax.device_put(self.concat)
+                self._concat_dev = jax.device_put(padded)
         return self._concat_dev
 
     def _finish_scores(self, sctx):
@@ -1469,6 +1470,22 @@ def _tables(database):
     return _strand_tables(database)
 
 
+_CONCAT_BUCKET = 1 << 20
+
+
+def _pad_concat(concat: np.ndarray) -> np.ndarray:
+    """Zero-pad the device reference buffer to a 1 Mb-multiple length: the
+    scoring program's shape (and so its compile/load fingerprint, which the
+    remote service caches across processes) then depends only on the
+    reference's size bucket, not its exact length.  Window gathers clamp to
+    the buffer bound and every out-of-contig lane is masked, so the padding
+    is never observed."""
+    padded = -(-concat.shape[0] // _CONCAT_BUCKET) * _CONCAT_BUCKET
+    if padded == concat.shape[0]:
+        return concat
+    return np.pad(concat, (0, padded - concat.shape[0]))
+
+
 class ScoringWarmup:
     """Holder for the async one-time device setup started by
     start_scoring_warmup: `concat_dev` is the uploaded reference buffer the
@@ -1508,14 +1525,15 @@ def start_scoring_warmup(
 
     def run():
         try:
+            padded = _pad_concat(concat)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 holder.concat_dev = jax.device_put(
-                    concat, NamedSharding(mesh, PartitionSpec())
+                    padded, NamedSharding(mesh, PartitionSpec())
                 )
             else:
-                holder.concat_dev = jax.device_put(concat)
+                holder.concat_dev = jax.device_put(padded)
             p = parameters
             total = (2 * read_length) if paired else read_length
             max_indel = max(
