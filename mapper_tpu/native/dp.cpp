@@ -89,9 +89,38 @@ int mapper_dp_align(const uint8_t* q, int n, const uint8_t* w, int m,
     }
   }
 
+  // Budget band: without contig-edge tails (may_extend), any path whose net
+  // diagonal shift leaves the no-indel start range [min(0,m-n), max(0,m-n)]
+  // by s bases pays at least indel_start + indel_ext*s, so cells beyond the
+  // affordable shift can never be on an accepted path and may stay
+  // DISALLOWED (their initialized value) — identical results, ~3x fewer
+  // cells at default budgets.  may_extend windows (rare) keep the full
+  // rectangle: unaligned-tail steps move off-diagonal at p.unaligned/base.
+  int lo_span = n + m + 1, hi_span = n + m + 1;
+  if (!may_extend) {
+    const double eps_budget = max_interesting + 0.000001;
+    const double ins0 = std::min(p.ins_start, p.starting_ins_start);
+    const double span_cap = static_cast<double>(n + m + 1);
+    if (p.ins_ext > 0) {
+      const double k = (eps_budget - ins0) / p.ins_ext;
+      lo_span = k < 0 ? 0 : static_cast<int>(std::min(k, span_cap));
+    }
+    if (p.del_ext > 0) {
+      const double k = (eps_budget - p.del_start) / p.del_ext;
+      hi_span = k < 0 ? 0 : static_cast<int>(std::min(k, span_cap));
+    }
+  }
+  const int slack_lo = std::min(0, m - n);
+  const int slack_hi = std::max(0, m - n);
+
   for (int x = 1; x <= n; x++) {
     const uint8_t qc = q[x - 1];
-    for (int y = 1; y <= m; y++) {
+    int y_lo = 1, y_hi = m;
+    if (!may_extend) {
+      y_lo = std::max(1, x + slack_lo - lo_span);
+      y_hi = std::min(m, x + slack_hi + hi_span);
+    }
+    for (int y = y_lo; y <= y_hi; y++) {
       // insX from the left (PathAligner.computeUpdated, java:591-637)
       double ix;
       if (y == m && may_extend) {
