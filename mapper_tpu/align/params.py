@@ -94,14 +94,24 @@ class AlignmentParameters:
     # --- per-base penalties ---------------------------------------------
 
     def base_penalty(self, query_code, ref_code):
-        """Vectorized per-base penalty (AlignmentParameters.java:156-180)."""
-        query_code = np.asarray(query_code, dtype=np.uint8)
-        ref_code = np.asarray(ref_code, dtype=np.uint8)
-        matches = basepairs.can_match(query_code, ref_code)
-        ambiguity = self.ambiguity_penalty * basepairs.mutation_false_negative_rate(
-            basepairs.union(query_code, ref_code)
-        )
-        return np.where(matches, ambiguity, self.mutation_penalty)
+        """Vectorized per-base penalty (AlignmentParameters.java:156-180):
+        a cached 16x16 float64 table gather (the formula evaluated per call
+        was a hot path in block-penalty sums; the table holds bit-identical
+        values)."""
+        table = self.__dict__.get("_penalty_table")
+        if table is None:
+            codes = np.arange(16, dtype=np.uint8)
+            q, w = codes[:, None], codes[None, :]
+            matches = basepairs.can_match(q, w)
+            ambiguity = self.ambiguity_penalty * basepairs.mutation_false_negative_rate(
+                basepairs.union(q, w)
+            )
+            table = np.where(matches, ambiguity, self.mutation_penalty)
+            self.__dict__["_penalty_table"] = table
+        return table[
+            np.asarray(query_code, dtype=np.uint8),
+            np.asarray(ref_code, dtype=np.uint8),
+        ]
 
     def substitution_table(self) -> np.ndarray:
         """A 16x16 float32 table of per-base penalties, device-kernel-ready."""
