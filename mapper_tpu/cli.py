@@ -680,7 +680,11 @@ def run(
     if engine == "batch" and reference_index.duplication_detector is not None:
         reference_index.duplication_detector.ensure_detected()  # avoid lazy-init races
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    # --num-threads scales the number of batches in flight (the reference's
+    # worker-count knob, Mapper.java:154); two is the floor so host candidate
+    # generation always overlaps device scoring
+    pool_workers = max(2, min(int(num_threads), 16))
+    pool = ThreadPoolExecutor(max_workers=pool_workers)
     pending: deque = deque()
 
     # verbose alignment tracing: each chunk logs into a BufferedWriter
@@ -738,7 +742,7 @@ def run(
             batch, batch_bases = [], 0
             # verbose runs serialize chunks (shared chunk logger); otherwise
             # keep at most two batches in flight
-            drain(0 if verbose_alignment else 1)
+            drain(0 if verbose_alignment else pool_workers - 1)
     if batch:
         submit_batch(batch)
     drain(0)
