@@ -12,9 +12,12 @@ Pipeline (single-end fast path):
    ties broken toward ungapped (StraightAligner semantics);
 5. finalization: candidates whose banded score equals their ungapped score
    become full-length ungapped alignments directly (the overwhelmingly common
-   case); reads needing indels, contig-edge economics, paired-end logic, or
-   that the batch path leaves unaligned fall back to the exact sequential
-   worker (align/worker.py), which is the output-parity reference.
+   case); single-locus candidates that win WITH an indel are finalized by the
+   sequential engine's own per-candidate driver on the voted position (exact
+   traceback at ~1/100th of the full worker's cost; see
+   _finish_single_end's gates); contig-edge economics, competing loci,
+   ambiguous reads, and whatever else remains fall back to the exact
+   sequential worker (align/worker.py), which is the output-parity reference.
 
 This trades redundant device FLOPs (scoring every candidate, collisions
 included) for the removal of per-read host control flow — the TPU-first
