@@ -223,10 +223,27 @@ class ScalarHashBlock:
 
 
 def _merge_hash_values(l_len: int, l_hash: int, r_len: int, r_hash: int) -> int:
-    rotated_left = _i64((l_hash + 1) * (MERGE_MULTIPLIER + MERGE_LENGTH_MULTIPLIER * r_len))
-    rotated_right = _i64(_i32(r_hash + 1) * l_len)
-    long_top_bits = _i64(rotated_left + rotated_right)
-    return _i32(_i32(long_top_bits) + _i32(long_top_bits >> 32))
+    """HashBlock's merge-hash combiner (HashBlock.java:261-269) with the Java
+    32/64-bit wraparound inlined — the hottest scalar-path function; addition
+    and multiplication are sign-agnostic mod 2^64, so only the int32 cast of
+    (r_hash+1), the arithmetic >> 32, and the final casts need signing."""
+    rh = (r_hash + 1) & 0xFFFFFFFF
+    if rh >= 0x80000000:
+        rh -= 0x100000000
+    t = (
+        (l_hash + 1) * (MERGE_MULTIPLIER + MERGE_LENGTH_MULTIPLIER * r_len)
+        + rh * l_len
+    ) & 0xFFFFFFFFFFFFFFFF
+    if t >= 0x8000000000000000:
+        t -= 0x10000000000000000
+    lo = t & 0xFFFFFFFF
+    if lo >= 0x80000000:
+        lo -= 0x100000000
+    hi = (t >> 32) & 0xFFFFFFFF
+    if hi >= 0x80000000:
+        hi -= 0x100000000
+    v = (lo + hi) & 0xFFFFFFFF
+    return v - 0x100000000 if v >= 0x80000000 else v
 
 
 class Condition:
@@ -241,17 +258,40 @@ class Condition:
         self.values = values
 
     def intersect(self, other: "Condition") -> "Condition | None":
-        if not other.keys:
+        ka, va = self.keys, self.values
+        kb, vb = other.keys, other.values
+        if not kb:
             return self
-        if not self.keys:
+        if not ka:
             return other
-        merged: dict[int, int] = dict(zip(self.keys, self.values))
-        for k, v in zip(other.keys, other.values):
-            if k in merged and merged[k] != v:
-                return None
-            merged[k] = v
-        items = sorted(merged.items())
-        return Condition(tuple(k for k, _ in items), tuple(v for _, v in items))
+        # keys are maintained sorted (single-key constructors + this merge),
+        # so a two-pointer merge avoids the dict + sort per call
+        out_k: list[int] = []
+        out_v: list[int] = []
+        i = j = 0
+        la, lb = len(ka), len(kb)
+        while i < la and j < lb:
+            a, b = ka[i], kb[j]
+            if a == b:
+                if va[i] != vb[j]:
+                    return None
+                out_k.append(a)
+                out_v.append(va[i])
+                i += 1
+                j += 1
+            elif a < b:
+                out_k.append(a)
+                out_v.append(va[i])
+                i += 1
+            else:
+                out_k.append(b)
+                out_v.append(vb[j])
+                j += 1
+        out_k.extend(ka[i:])
+        out_v.extend(va[i:])
+        out_k.extend(kb[j:])
+        out_v.extend(vb[j:])
+        return Condition(tuple(out_k), tuple(out_v))
 
     def complexity(self) -> int:
         return len(self.values)
