@@ -171,17 +171,17 @@ class ScalarHashBlock:
         if self.gap_dir == 0:
             return self
 
-        ext_hash = 0
+        # Horner evaluation of the extension hash: mod-2^32 multiplication and
+        # addition are sign-agnostic, so one mask per step and one sign
+        # correction at the end reproduce the per-step Java int casts exactly
         if self.gap_dir < 0:
             ext_end = self.start - gap
             ext_start = ext_end - ext_len
             if ext_start < 0:
                 return None
-            for i in range(ext_end - 1, ext_start - 1, -1):
-                ext_hash = _i32(ext_hash * GAPMER_MULTIPLIER)
-                ext_hash = _i32(
-                    ext_hash + int(basepairs.GAPMER_CHAR_VALUE_TABLE[codes[i]])
-                )
+            vals = basepairs.GAPMER_CHAR_VALUE_TABLE[codes[ext_start:ext_end]][
+                ::-1
+            ].tolist()
             result = ScalarHashBlock(ext_start, ext_len + gap + self.length)
             result.gapped_block1_length = ext_len
             result.gapped_gap_length = gap
@@ -190,13 +190,17 @@ class ScalarHashBlock:
             ext_end = ext_start + ext_len
             if ext_end > codes.shape[0]:
                 return None
-            for i in range(ext_start, ext_end):
-                ext_hash = _i32(ext_hash * GAPMER_MULTIPLIER)
-                comp = basepairs.COMPLEMENT_TABLE[codes[i]]
-                ext_hash = _i32(ext_hash + int(basepairs.GAPMER_CHAR_VALUE_TABLE[comp]))
+            vals = basepairs.GAPMER_CHAR_VALUE_TABLE[
+                basepairs.COMPLEMENT_TABLE[codes[ext_start:ext_end]]
+            ].tolist()
             result = ScalarHashBlock(self.start, self.length + gap + ext_len)
             result.gapped_block1_length = self.length
             result.gapped_gap_length = gap
+        ext_hash = 0
+        for v in vals:
+            ext_hash = (ext_hash * GAPMER_MULTIPLIER + v) & 0xFFFFFFFF
+        if ext_hash >= 0x80000000:
+            ext_hash -= 0x100000000
         result.fwd = _i32(self.fwd + ext_hash)
         result.rev = _i32(self.rev + ext_hash)
         result.num_basepairs_used = self.length + ext_len
@@ -264,6 +268,14 @@ class Condition:
             return self
         if not ka:
             return other
+        # dominant case: two single-position conditions
+        if len(ka) == 1 and len(kb) == 1:
+            a, b = ka[0], kb[0]
+            if a == b:
+                return self if va[0] == vb[0] else None
+            if a < b:
+                return Condition((a, b), (va[0], vb[0]))
+            return Condition((b, a), (vb[0], va[0]))
         # keys are maintained sorted (single-key constructors + this merge),
         # so a two-pointer merge avoids the dict + sort per call
         out_k: list[int] = []
