@@ -37,17 +37,68 @@ _INT_MAX = 2**31 - 1
 
 
 class QueryPyramid:
-    """Lazy pyramid over a query sequence using the scalar object model (query
-    rows are short; the production batch path vectorizes this wholesale)."""
+    """Lazy pyramid over a query sequence.
+
+    Clean (unambiguous) queries compute each row with the vectorized
+    whole-row kernels (index/hashblock.py — field-for-field identical to the
+    scalar model by tests/test_hashblock.py's differential) and convert the
+    arrays to ScalarHashBlock objects for the path walker; ambiguous queries
+    keep the scalar object model (MultiBlock expansion)."""
 
     def __init__(self, sequence: Sequence):
         self.sequence = sequence
-        self.rows: list[list[scalar.Slot]] = [scalar.scalar_base_row(sequence.codes)]
+        codes = sequence.codes
+        self._vector_rows = None
+        if codes.shape[0] and not np.any(basepairs.POPCOUNT_TABLE[codes] != 1):
+            from mapper_tpu.index import hashblock as _hb
+
+            self._hb = _hb
+            self._vector_rows = [_hb.base_row(codes)]
+            self.rows: list[list[scalar.Slot]] = [
+                _convert_block_row(self._vector_rows[0])
+            ]
+        else:
+            self.rows = [scalar.scalar_base_row(codes)]
 
     def get(self, level: int) -> list[scalar.Slot]:
         while len(self.rows) <= level:
-            self.rows.append(scalar.scalar_merge_row(self.rows[-1]))
+            if self._vector_rows is not None:
+                nxt = self._hb.merge_row(self._vector_rows[-1])
+                self._vector_rows.append(nxt)
+                self.rows.append(_convert_block_row(nxt))
+            else:
+                self.rows.append(scalar.scalar_merge_row(self.rows[-1]))
         return self.rows[level]
+
+
+def _convert_block_row(row) -> list[scalar.Slot]:
+    """BlockRow (struct-of-arrays) -> ScalarHashBlock objects."""
+    n = len(row)
+    if n == 0:
+        return []
+    starts = row.start.tolist()
+    lengths = row.length.tolist()
+    fwds = row.fwd.tolist()
+    revs = row.rev.tolist()
+    req_ls = row.req_l.tolist()
+    req_rs = row.req_r.tolist()
+    next_ls = row.next_l.tolist()
+    next_rs = row.next_r.tolist()
+    gap_dirs = row.gap_dir.tolist()
+    extras = row.extra_gapmer.tolist()
+    out = []
+    for k in range(n):
+        b = scalar.ScalarHashBlock(starts[k], lengths[k])
+        b.fwd = fwds[k]
+        b.rev = revs[k]
+        b.req_l = req_ls[k]
+        b.req_r = req_rs[k]
+        b.next_l = next_ls[k]
+        b.next_r = next_rs[k]
+        b.gap_dir = gap_dirs[k]
+        b.extra_gapmer = extras[k]
+        out.append(b)
+    return out
 
 
 def _slot_start(slot: scalar.Slot) -> int:
