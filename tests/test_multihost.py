@@ -44,11 +44,17 @@ def test_two_process_run_matches_single(tmp_path):
     reads = tmp_path / "reads.fasta"
     lines = []
     for i in range(240):
-        pos = int(rng.integers(0, 20000 - 130))
-        frag = list(ref_text[pos : pos + 130])
+        pos = int(rng.integers(0, 20000 - 140))
+        frag = list(ref_text[pos : pos + 140])
         for _ in range(int(rng.integers(0, 3))):
             frag[int(rng.integers(0, 130))] = "ACGT"[int(rng.integers(0, 4))]
-        text = "".join(frag)
+        if i % 4 == 0:  # indel reads exercise the gapped finalization path
+            j = int(rng.integers(15, 110))
+            if rng.random() < 0.5:
+                del frag[j : j + int(rng.integers(1, 3))]
+            else:
+                frag.insert(j, "ACGT"[int(rng.integers(0, 4))])
+        text = "".join(frag[:130])
         if rng.random() < 0.5:
             text = rc_text(text)
         lines.append(f">r{i}\n{text}\n")
