@@ -130,11 +130,17 @@ def test_cli_devices_flag_byte_identical(tmp_path):
     bases = list("ACGT")
     lines = []
     for i in range(300):
-        pos = int(rng.integers(0, 30000 - 150))
-        frag = list(ref_text[pos : pos + 150])
+        pos = int(rng.integers(0, 30000 - 160))
+        frag = list(ref_text[pos : pos + 160])
         for _ in range(int(rng.integers(0, 4))):
             frag[int(rng.integers(0, 150))] = bases[int(rng.integers(0, 4))]
-        text = "".join(frag)
+        if i % 4 == 0:  # indel reads exercise the gapped finalization path
+            j = int(rng.integers(15, 130))
+            if rng.random() < 0.5:
+                del frag[j : j + int(rng.integers(1, 3))]
+            else:
+                frag.insert(j, bases[int(rng.integers(0, 4))])
+        text = "".join(frag[:150])
         if rng.random() < 0.5:
             text = rc_text(text)
         lines.append(f">r{i}\n{text}\n")
