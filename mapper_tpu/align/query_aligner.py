@@ -54,6 +54,11 @@ class QueryMatchAligner:
         self.good_alignments: list[QueryAlignment] = []
         self.best_penalty = float(2**31 - 1)
         self.reference_index = reference_index
+        # optional per-query memo for _align_match, shareable across aligner
+        # instances over the SAME query (batch/engine.py's paired invariance
+        # probes re-align the unchanged mate repeatedly); the result is a
+        # pure function of the memo key given the query's spacing model
+        self.match_memo: dict | None = None
 
     # --- public API --------------------------------------------------------
 
@@ -306,6 +311,31 @@ class QueryMatchAligner:
     # --- single-sequence window + DP (alignMatch, java:412-462) -------------
 
     def _align_match(self, sequence_match: SequenceMatch, params) -> SequenceAlignment | None:
+        memo = self.match_memo
+        if memo is not None:
+            # every params clone in this class only changes max_error_rate,
+            # so the key below fully determines the result
+            key = (
+                id(sequence_match.sequence_a),
+                id(sequence_match.sequence_b),
+                sequence_match.offset,
+                sequence_match.from_hashblock_match,
+                params.max_error_rate,
+            )
+            hit = memo.get(key)
+            if hit is not None:
+                return hit[2]
+            result = self._align_match_uncached(sequence_match, params)
+            # keep the keyed sequences alive for the memo's lifetime so a
+            # temporary (e.g. a joined-mates Sequence) cannot be freed and
+            # its id() recycled by a different sequence
+            memo[key] = (sequence_match.sequence_a, sequence_match.sequence_b, result)
+            return result
+        return self._align_match_uncached(sequence_match, params)
+
+    def _align_match_uncached(
+        self, sequence_match: SequenceMatch, params
+    ) -> SequenceAlignment | None:
         query = sequence_match.sequence_a
         ref = sequence_match.sequence_b
         q_start, q_end = 0, len(query)

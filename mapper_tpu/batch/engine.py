@@ -743,18 +743,75 @@ class BatchAligner:
         sel = np.nonzero(pair_of == pair_index)[0]
         if sel.shape[0] == 0:
             return None
-        aligner = QueryMatchAligner(query, p, self.reference_index)
-        for c in sel.tolist():
-            matches = []
-            for ci, r in ((0, int(combos["row0"][c])), (1, int(combos["row1"][c]))):
-                base = components[2 * pair_index + ci]
-                seq_a = base.reverse_complement() if table.reversed_[r] else base
-                ref = self.seq_db.get_sequence(int(table.ref_seq_index[r]))
-                matches.append(SequenceMatch(seq_a, ref, int(table.offset[r])))
-            aligner.align(QueryMatch(matches, 0, hint_forward_order=False))
-        best = aligner.get_best_alignments()
+
+        match_memo: dict = {}
+
+        def run(overrides):
+            aligner = QueryMatchAligner(query, p, self.reference_index)
+            aligner.match_memo = match_memo
+            for c in sel.tolist():
+                matches = []
+                for ci, r in ((0, int(combos["row0"][c])), (1, int(combos["row1"][c]))):
+                    base = components[2 * pair_index + ci]
+                    seq_a = base.reverse_complement() if table.reversed_[r] else base
+                    ref = self.seq_db.get_sequence(int(table.ref_seq_index[r]))
+                    offset = overrides.get((ci, r), int(table.offset[r]))
+                    matches.append(SequenceMatch(seq_a, ref, offset))
+                aligner.align(QueryMatch(matches, 0, hint_forward_order=False))
+            return aligner.get_best_alignments()
+
+        best = run({})
         if not best:
             return None  # mate-rescue paths: sequential fallback
+
+        # offset-invariance gate (the paired analog of the single-end gapped
+        # finalization gate): equal-penalty tracebacks are sensitive to the
+        # predicted diagonal, and the sequential engine may vote a NEIGHBORING
+        # diagonal of the same locus for an indel mate.  Any choice containing
+        # an indel must reproduce identically when each indel component's own
+        # gapless-run diagonals replace the voted offsets of that locus;
+        # otherwise the full worker decides.
+        def summarize(choices):
+            return sorted(
+                (
+                    a.get_penalty(),
+                    a.spacing_penalty,
+                    tuple(c.content_key() for c in a.get_components()),
+                )
+                for a in choices
+            )
+
+        alt_probes = set()
+        budget = int(
+            max(
+                0.0,
+                (
+                    query.get_length() * p.max_error_rate
+                    - p.deletion_start_penalty
+                )
+                / p.deletion_extension_penalty,
+            )
+        )
+        for choice in best:
+            for ci, comp in enumerate(choice.get_components()):
+                if comp.count_num_indels() == 0:
+                    continue
+                for s in comp.sections:
+                    if s.length_a == s.length_b and s.length_a > 0:
+                        alt_probes.add((ci, int(s.start_b - s.start_a)))
+        if alt_probes:
+            base_summary = summarize(best)
+            for ci, alt in alt_probes:
+                overrides = {}
+                for c in sel.tolist():
+                    r = int(combos["row0"][c]) if ci == 0 else int(combos["row1"][c])
+                    off = int(table.offset[r])
+                    if off != alt and abs(off - alt) <= budget:
+                        overrides[(ci, r)] = alt
+                if not overrides:
+                    continue  # every same-locus row already voted this diagonal
+                if summarize(run(overrides)) != base_summary:
+                    return None  # sequential worker owns the tie
         for choice in best:  # ancestral -> original coordinate rewrite
             computed = choice.get_sequence_b()
             original = self.reference_index.get_original_sequence(computed)

@@ -223,3 +223,46 @@ def test_agreement_fuzz_large():
         if got != expected:
             mismatches.append((i, got, expected))
     assert not mismatches, (len(mismatches), mismatches[:3])
+
+
+def test_paired_engine_agreement_fuzz():
+    """Paired-end analog of the SE fuzz: the batch engine (vectorized
+    pairing + certificates + exact-combo deferral) must match the sequential
+    worker on randomized pairs with SNPs, indels, overlapping mates,
+    contig-edge fragments and both orientations."""
+    from tests.test_paired_batch import simulate_pairs
+
+    rng = np.random.default_rng(4242)
+    ref_text = random_text(40000, rng)
+    index = Api.new_database({"pA": ref_text[:26000], "pB": ref_text[26000:]})
+    params = AlignmentParameters.defaults()
+    queries = simulate_pairs(ref_text[:26000], 200, seed=97)
+
+    sequential = AlignerWorker(index, params)
+    engine = BatchAligner(index, params)
+    batch_results = engine.process_batch(list(queries))
+
+    def summarize_pair(result):
+        rows = []
+        for alist in result.get_alignments():
+            rows.append(
+                tuple(
+                    sorted(
+                        (
+                            round(a.get_penalty(), 9),
+                            a.spacing_penalty,
+                            tuple(c.content_key() for c in a.get_components()),
+                        )
+                        for a in alist
+                    )
+                )
+            )
+        return tuple(rows)
+
+    mismatches = []
+    for i, q in enumerate(queries):
+        expected = summarize_pair(sequential.align(q))
+        got = summarize_pair(batch_results[i])
+        if got != expected:
+            mismatches.append((i, got, expected))
+    assert not mismatches, (len(mismatches), mismatches[:2])
