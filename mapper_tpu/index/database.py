@@ -345,11 +345,62 @@ class HashBlockDatabase:
                 by_size_keys, by_size_positions, by_size_amb,
             ):
                 # dense ambiguity: full scalar pass
-                entries = self._scalar_entries(codes, lo, hi)
-                self._emit_entries(
-                    entries, seq_start, rc_start, n,
+                self._emit_entry_arrays(
+                    self._scalar_entry_arrays(codes, lo, hi),
+                    seq_start, rc_start, n,
                     by_size_keys, by_size_positions, by_size_amb,
                 )
+
+    def _scalar_entry_arrays(self, codes, lo, hi, offset=0, keep=None):
+        """Column arrays (num_bp, fwd, rev, primary, secondary, start, length,
+        amb) of the scalar conditional pyramid over ``codes``, starts shifted
+        by ``offset`` into full-sequence coordinates; native C++ when
+        available, else the Python scalar oracle."""
+        import os
+
+        if os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
+            from mapper_tpu import native
+
+            res = native.native_scalar_entries(
+                codes,
+                self.min_interesting_size,
+                lo,
+                hi,
+                self.enable_gapmers,
+                keep=None if keep is None else (keep[0] - offset, keep[1] - offset),
+            )
+            if res is not None:
+                num_bp, fwd, rev, primary, secondary, start, length, amb = res
+                return (
+                    num_bp.astype(np.int64),
+                    fwd.astype(np.int64),
+                    rev.astype(np.int64),
+                    primary,
+                    secondary,
+                    start + offset,
+                    length.astype(np.int64),
+                    amb,
+                )
+        entries = self._scalar_entries(codes, lo, hi, offset=offset, keep=keep)
+        arr = np.array(entries, dtype=np.int64).reshape(-1, 8)
+        return (
+            arr[:, 0], arr[:, 1], arr[:, 2],
+            arr[:, 3].astype(bool), arr[:, 4].astype(bool),
+            arr[:, 5], arr[:, 6], arr[:, 7].astype(bool),
+        )
+
+    def _emit_entry_arrays(
+        self, columns, seq_start, rc_start, n,
+        by_size_keys, by_size_positions, by_size_amb,
+    ):
+        num_bp, fwd, rev, primary, secondary, start, length, amb = columns
+        if num_bp.shape[0] == 0:
+            return
+        self._emit(
+            num_bp, fwd, rev, primary, secondary, start, length, amb,
+            seq_start, rc_start, n,
+            by_size_keys, by_size_positions, by_size_amb,
+        )
 
     def _scalar_entries(self, codes, lo, hi, offset=0, keep=None):
         """Scalar-pyramid pass over ``codes`` returning emit tuples.  ``offset``
@@ -389,30 +440,6 @@ class HashBlockDatabase:
                     )
                 )
         return entries
-
-    def _emit_entries(
-        self, entries, seq_start, rc_start, n,
-        by_size_keys, by_size_positions, by_size_amb,
-    ):
-        if not entries:
-            return
-        arr = np.array(entries, dtype=np.int64)
-        self._emit(
-            arr[:, 0],
-            arr[:, 1],
-            arr[:, 2],
-            arr[:, 3].astype(bool),
-            arr[:, 4].astype(bool),
-            arr[:, 5],
-            arr[:, 6],
-            arr[:, 7].astype(bool),
-            seq_start,
-            rc_start,
-            n,
-            by_size_keys,
-            by_size_positions,
-            by_size_amb,
-        )
 
     def _collect_clean(self, codes, lo, hi):
         """All insertable blocks of a clean (ambiguity-free) code stretch as
@@ -501,20 +528,22 @@ class HashBlockDatabase:
                 groups.append([p, p])
 
         # 1) scalar windows (emit blocks starting inside the territory)
-        all_entries = []
+        all_columns = []
         for first, last in groups:
             ws, we = max(0, first - window_pad), min(n, last + 1 + window_pad)
             ts = max(0, first - territory_pad)
             te = min(n, last + 1 + territory_pad)
             # a window clipped by the sequence edge has no edge effect there
             # (the full-sequence pyramid ends at the same place)
-            all_entries.extend(
-                self._scalar_entries(codes[ws:we], lo, hi, offset=ws, keep=(ts, te))
+            all_columns.append(
+                self._scalar_entry_arrays(codes[ws:we], lo, hi, offset=ws, keep=(ts, te))
             )
-        self._emit_entries(
-            all_entries, seq_start, rc_start, n,
-            by_size_keys, by_size_positions, by_size_amb,
-        )
+        if all_columns:
+            self._emit_entry_arrays(
+                tuple(np.concatenate(cols) for cols in zip(*all_columns)),
+                seq_start, rc_start, n,
+                by_size_keys, by_size_positions, by_size_amb,
+            )
 
         # 2) clean segments between ambiguity groups (emit blocks starting
         # outside every territory)

@@ -134,6 +134,12 @@ def get_candidates_library():
                 p_u8,                      # ref concat
                 p_i32, p_u8,               # out counts, out clean
             ]
+            lib.mapper_scalar_entries.restype = i64
+            lib.mapper_scalar_entries.argtypes = [
+                p_u8, i64, i32, i32, i32, i32,  # codes, n, min_interesting, lo, hi, gapmers
+                i64, i64,                  # keep_lo, keep_hi (window-local)
+                p_i32, p_i32, p_i32, p_u8, p_u8, p_i64, p_i32, p_u8, i64,
+            ]
             lib.mapper_generate_candidates.restype = i64
             lib.mapper_generate_candidates.argtypes = [
                 p_u8, p_i64, i64,          # codes, read_starts, num_reads
@@ -359,6 +365,74 @@ def native_collect_blocks(
         out_start[:k],
         out_length[:k],
     )
+
+
+def native_scalar_entries(
+    codes: np.ndarray,
+    min_interesting: int,
+    lo: int,
+    hi: int,
+    enable_gapmers: bool,
+    keep=None,
+):
+    """Entry columns of the scalar conditional (IUPAC) pyramid over one code
+    window — native port of HashBlockDatabase._scalar_entries; same entries in
+    the same order.  Returns (num_bp, fwd, rev, primary, secondary, start,
+    length, amb) with window-local starts, or None when the library is
+    unavailable."""
+    lib = get_candidates_library()
+    if lib is None or not hasattr(lib, "mapper_scalar_entries"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    keep_lo, keep_hi = keep if keep is not None else (-(1 << 62), 1 << 62)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    cap = 8 * n + 64
+    while True:
+        out_num_bp = np.empty(cap, dtype=np.int32)
+        out_fwd = np.empty(cap, dtype=np.int32)
+        out_rev = np.empty(cap, dtype=np.int32)
+        out_primary = np.empty(cap, dtype=np.uint8)
+        out_secondary = np.empty(cap, dtype=np.uint8)
+        out_start = np.empty(cap, dtype=np.int64)
+        out_length = np.empty(cap, dtype=np.int32)
+        out_amb = np.empty(cap, dtype=np.uint8)
+        k = lib.mapper_scalar_entries(
+            codes.ctypes.data_as(p_u8),
+            n,
+            min_interesting,
+            lo,
+            hi,
+            1 if enable_gapmers else 0,
+            keep_lo,
+            keep_hi,
+            out_num_bp.ctypes.data_as(p_i32),
+            out_fwd.ctypes.data_as(p_i32),
+            out_rev.ctypes.data_as(p_i32),
+            out_primary.ctypes.data_as(p_u8),
+            out_secondary.ctypes.data_as(p_u8),
+            out_start.ctypes.data_as(p_i64),
+            out_length.ctypes.data_as(p_i32),
+            out_amb.ctypes.data_as(p_u8),
+            cap,
+        )
+        if k == -1:
+            cap *= 4
+            continue
+        if k < 0:
+            return None
+        return (
+            out_num_bp[:k],
+            out_fwd[:k],
+            out_rev[:k],
+            out_primary[:k].astype(bool),
+            out_secondary[:k].astype(bool),
+            out_start[:k],
+            out_length[:k],
+            out_amb[:k].astype(bool),
+        )
 
 
 def native_collect_emit(

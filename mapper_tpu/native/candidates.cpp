@@ -1017,3 +1017,334 @@ extern "C" void mapper_ungapped_counts(
     out_clean[r] = clean ? 1 : 0;
   }
 }
+
+// ---------------------------------------------------------------------------
+// Scalar conditional pyramid (IUPAC-ambiguity expansion), native port of
+// index/scalar.py (itself a faithful model of HashBlock_ParentRow.java /
+// MultiHashBlock.java / SequenceCondition.java).  Returns the same entry
+// columns as HashBlockDatabase._scalar_entries, in the same (row, slot,
+// possibility) order, so the Python scalar path remains the differential
+// oracle and outputs stay bit-identical.
+// ---------------------------------------------------------------------------
+
+namespace scalarpyr {
+
+constexpr size_t MAX_COMBOS = 64;  // HashBlock_ParentRow.java:10
+
+// Sorted (position -> concrete nibble) constraints (SequenceCondition.java).
+struct Cond {
+  std::vector<std::pair<int32_t, uint8_t>> kv;
+};
+
+// intersect(a, b) -> false on contradiction, else fills out.
+static bool cond_intersect(const Cond& a, const Cond& b, Cond& out) {
+  if (b.kv.empty()) { out = a; return true; }
+  if (a.kv.empty()) { out = b; return true; }
+  out.kv.clear();
+  out.kv.reserve(a.kv.size() + b.kv.size());
+  size_t i = 0, j = 0;
+  while (i < a.kv.size() && j < b.kv.size()) {
+    int32_t ka = a.kv[i].first, kb = b.kv[j].first;
+    if (ka == kb) {
+      if (a.kv[i].second != b.kv[j].second) return false;
+      out.kv.push_back(a.kv[i]);
+      i++; j++;
+    } else if (ka < kb) {
+      out.kv.push_back(a.kv[i++]);
+    } else {
+      out.kv.push_back(b.kv[j++]);
+    }
+  }
+  for (; i < a.kv.size(); i++) out.kv.push_back(a.kv[i]);
+  for (; j < b.kv.size(); j++) out.kv.push_back(b.kv[j]);
+  return true;
+}
+
+struct CondBlock {
+  bool has_block;
+  Block b;
+  Cond cond;
+};
+
+struct Slot {
+  bool multi;
+  Block b;                      // valid when !multi (always a real block)
+  std::vector<CondBlock> poss;  // valid when multi
+};
+
+inline bool should_merge(const Block& L, const Block& R) {
+  // HashBlock_ParentRow.shouldMergeBlocks (java:200-208)
+  if (L.start + L.length < R.start) return false;
+  return L.req_r || R.req_l;
+}
+
+// HashBlock_ParentRow.expand (java:137-191) == scalar.py::_expand.
+static void expand(const std::vector<Slot>& row, const Block& left_block,
+                   const Cond& cond, size_t slot_index,
+                   std::vector<CondBlock>& results) {
+  if (slot_index + 1 >= row.size()) return;
+  const Slot& next = row[slot_index + 1];
+  static const Cond ALWAYS{};
+  // iterate the next slot's possibilities (a concrete slot behaves as one
+  // unconditional possibility)
+  size_t np_ = next.multi ? next.poss.size() : 1;
+  bool found = false;
+  Cond inter;
+  for (size_t oi = 0; oi < np_; oi++) {
+    const Block* rb;
+    const Cond* rc;
+    bool r_has;
+    if (next.multi) {
+      r_has = next.poss[oi].has_block;
+      rb = &next.poss[oi].b;
+      rc = &next.poss[oi].cond;
+    } else {
+      r_has = true;
+      rb = &next.b;
+      rc = &ALWAYS;
+    }
+    if (!cond_intersect(cond, *rc, inter)) {
+      if (found) break;
+      continue;
+    }
+    found = true;
+    if (results.size() > MAX_COMBOS) return;
+    if (!r_has) {
+      expand(row, left_block, inter, slot_index + 1, results);
+      continue;
+    }
+    CondBlock out;
+    if (should_merge(left_block, *rb)) {
+      out.has_block = true;
+      out.b = merge_blocks(left_block, *rb);
+    } else {
+      out.has_block = false;
+    }
+    out.cond = inter;
+    results.push_back(std::move(out));
+  }
+}
+
+// scalar.py::scalar_merge_row
+static void merge_row(const std::vector<Slot>& row, std::vector<Slot>& out) {
+  out.clear();
+  if (row.size() < 2) return;
+  std::vector<CondBlock> opts;
+  for (size_t i = 0; i + 1 < row.size(); i++) {
+    const Slot& L = row[i];
+    const Slot& R = row[i + 1];
+    if (!L.multi && !R.multi) {
+      if (should_merge(L.b, R.b)) {
+        Slot s;
+        s.multi = false;
+        s.b = merge_blocks(L.b, R.b);
+        out.push_back(std::move(s));
+      }
+      continue;
+    }
+    opts.clear();
+    if (!L.multi) {
+      expand(row, L.b, Cond{}, i, opts);
+    } else {
+      for (const CondBlock& lo_ : L.poss) {
+        if (lo_.has_block) {
+          expand(row, lo_.b, lo_.cond, i, opts);
+        } else {
+          CondBlock o;
+          o.has_block = false;
+          o.cond = lo_.cond;
+          opts.push_back(std::move(o));
+        }
+      }
+    }
+    if (!opts.empty() && opts.size() <= MAX_COMBOS) {
+      bool any = false;
+      for (const CondBlock& o : opts) any |= o.has_block;
+      if (any) {
+        Slot s;
+        s.multi = true;
+        s.poss = std::move(opts);
+        out.push_back(std::move(s));
+        opts = std::vector<CondBlock>();
+      }
+    }
+  }
+}
+
+}  // namespace scalarpyr
+
+// Entry columns for one (possibly IUPAC-ambiguous) code window: exactly
+// HashBlockDatabase._scalar_entries with window-local starts.  keep_lo/keep_hi
+// restrict output to blocks whose window-local start is in [keep_lo, keep_hi).
+// Returns the entry count, or -1 when max_out is too small (caller regrows).
+extern "C" int64_t mapper_scalar_entries(
+    const uint8_t* codes, int64_t len, int32_t min_interesting, int32_t lo,
+    int32_t hi, int32_t enable_gapmers, int64_t keep_lo, int64_t keep_hi,
+    int32_t* out_num_bp, int32_t* out_fwd, int32_t* out_rev,
+    uint8_t* out_primary, uint8_t* out_secondary, int64_t* out_start,
+    int32_t* out_length, uint8_t* out_amb, int64_t max_out) {
+  using namespace scalarpyr;
+  if (len <= 0) return 0;
+
+  // gapmer extension prefix tables; ambiguity codes contribute value 0
+  // (HashBlock.charToInt, HashBlock.java:152-169)
+  std::vector<uint32_t> pow_b(len + 2), inv_pow_b(len + 2);
+  pow_b[0] = 1;
+  inv_pow_b[0] = 1;
+  for (int64_t i = 1; i <= len + 1; i++) {
+    pow_b[i] = pow_b[i - 1] * GAPMER_MULTIPLIER;
+    inv_pow_b[i] = inv_pow_b[i - 1] * GAPMER_MULTIPLIER_INV;
+  }
+  std::vector<uint32_t> pref_fwd(len + 1), pref_comp(len + 1);
+  pref_fwd[0] = 0;
+  pref_comp[0] = 0;
+  for (int64_t i = 0; i < len; i++) {
+    uint8_t c = codes[i] & 0xF;
+    pref_fwd[i + 1] = pref_fwd[i] + (uint32_t)GAP_VAL[c] * pow_b[i];
+    pref_comp[i + 1] = pref_comp[i] + (uint32_t)GAP_VAL_COMP[c] * inv_pow_b[i];
+  }
+
+  // base row (HashBlock_BaseRow.java:27-56): ambiguous positions expand into
+  // a MultiBlock with one conditional block per possible base, in A,C,G,T
+  // (nibble 1,2,4,8) order
+  std::vector<Slot> row(len), next;
+  for (int64_t i = 0; i < len; i++) {
+    uint8_t c = codes[i] & 0xF;
+    int8_t v = TWO_BIT[c];
+    Slot& s = row[i];
+    if (v >= 0) {
+      s.multi = false;
+      Block& b = s.b;
+      b.start = (int32_t)i;
+      b.length = 1;
+      b.fwd = v;
+      b.rev = 3 - v;
+      b.extra = 0;
+      b.gap_dir = 0;
+      b.req_l = v < 2;
+      b.req_r = v >= 2;
+      b.next_l = (v & 1) == 0;
+      b.next_r = (v & 1) == 1;
+    } else {
+      s.multi = true;
+      for (uint8_t bit : {1, 2, 4, 8}) {
+        if (!(c & bit)) continue;
+        int8_t tb = TWO_BIT[bit];
+        CondBlock cb;
+        cb.has_block = true;
+        Block& b = cb.b;
+        b.start = (int32_t)i;
+        b.length = 1;
+        b.fwd = tb;
+        b.rev = 3 - tb;
+        b.extra = 0;
+        b.gap_dir = 0;
+        b.req_l = tb < 2;
+        b.req_r = tb >= 2;
+        b.next_l = (tb & 1) == 0;
+        b.next_r = (tb & 1) == 1;
+        cb.cond.kv.push_back({(int32_t)i, bit});
+        s.poss.push_back(std::move(cb));
+      }
+    }
+  }
+
+  int64_t w = 0;
+  auto emit_block = [&](const Block& b, bool is_conditional) -> bool {
+    // gapmer transform (HashBlock.withGapAndExtension, java:67-150)
+    int64_t g_start, g_len, g_num_bp;
+    int32_t g_fwd, g_rev;
+    bool is_self;
+    if (!enable_gapmers || b.gap_dir == 0) {
+      is_self = true;
+      g_start = b.start;
+      g_len = b.length;
+      g_num_bp = b.length;
+      g_fwd = b.fwd;
+      g_rev = b.rev;
+    } else {
+      is_self = false;
+      int32_t m = std::max(b.fwd, b.rev);
+      int32_t abs_m = wrap32((uint64_t)(m < 0 ? -(int64_t)m : (int64_t)m));
+      int32_t rem = abs_m % 3;
+      int64_t target_extra = (int64_t)b.length + rem + b.extra;
+      int64_t gap = b.length / 2;
+      int64_t ext_len = target_extra - gap;
+      int64_t ext_start, ext_end;
+      if (b.gap_dir < 0) {
+        ext_end = (int64_t)b.start - gap;
+        ext_start = ext_end - ext_len;
+        if (ext_start < 0) return true;
+        g_start = ext_start;
+      } else {
+        ext_start = (int64_t)b.start + b.length + gap;
+        ext_end = ext_start + ext_len;
+        if (ext_end > len) return true;
+        g_start = b.start;
+      }
+      int64_t cs = std::min(std::max(ext_start, (int64_t)0), len);
+      int64_t ce = std::min(std::max(ext_end, (int64_t)0), len);
+      uint32_t ext_hash;
+      if (b.gap_dir < 0) {
+        ext_hash = (pref_fwd[ce] - pref_fwd[cs]) * inv_pow_b[cs];
+      } else {
+        int64_t e1 = std::max(ce, (int64_t)1) - 1;
+        ext_hash = (pref_comp[ce] - pref_comp[cs]) * pow_b[e1];
+      }
+      g_fwd = wrap32((uint64_t)((int64_t)b.fwd + (int32_t)ext_hash));
+      g_rev = wrap32((uint64_t)((int64_t)b.rev + (int32_t)ext_hash));
+      g_len = b.length + gap + ext_len;
+      g_num_bp = b.length + ext_len;
+    }
+    if (g_num_bp < min_interesting || g_num_bp <= lo || g_num_bp > hi)
+      return true;
+    if (g_start < keep_lo || g_start >= keep_hi) return true;
+    bool primary, secondary;
+    if (is_self && (b.req_l != b.req_r)) {
+      primary = b.req_l;
+      secondary = b.req_r;
+    } else {
+      primary = g_fwd >= g_rev;
+      secondary = g_fwd <= g_rev;
+    }
+    if (w >= max_out) return false;
+    out_num_bp[w] = (int32_t)g_num_bp;
+    out_fwd[w] = g_fwd;
+    out_rev[w] = g_rev;
+    out_primary[w] = primary ? 1 : 0;
+    out_secondary[w] = secondary ? 1 : 0;
+    out_start[w] = g_start;
+    out_length[w] = (int32_t)g_len;
+    out_amb[w] = is_conditional ? 1 : 0;
+    w++;
+    return true;
+  };
+
+  while (!row.empty()) {
+    int32_t row_min_len = INT32_MAX;
+    for (const Slot& s : row) {
+      if (!s.multi) {
+        row_min_len = std::min(row_min_len, s.b.length);
+      } else {
+        for (const CondBlock& o : s.poss)
+          if (o.has_block) row_min_len = std::min(row_min_len, o.b.length);
+      }
+    }
+    if (row_min_len > hi) break;  // later rows only have longer blocks
+
+    for (const Slot& s : row) {
+      if (!s.multi) {
+        if (!emit_block(s.b, false)) return -1;
+      } else {
+        for (const CondBlock& o : s.poss) {
+          if (o.has_block && !emit_block(o.b, true)) return -1;
+        }
+      }
+    }
+
+    if (row.size() < 2) break;
+    merge_row(row, next);
+    row.swap(next);
+  }
+  return w;
+}
