@@ -344,12 +344,6 @@ class AncestryDetector:
                 t = min(t, len(a.sequence) - a.current_index)
             else:
                 t = min(t, a.current_index + 1)
-        # a walker's score drops at most (1 - thr) per step, so no death can
-        # occur within floor(min_score / (1 - thr)) steps — a chunk that long
-        # needs no per-step death scan at all
-        if thr < 1.0:
-            min_score = min(a.cumulative_score for a in available)
-            t = min(t, int(min_score / (1.0 - thr)))
         if t <= 0:
             return False
 
@@ -380,6 +374,8 @@ class AncestryDetector:
         # the no-death bound above is algebraic; float rounding at the exact
         # boundary could still dip below zero — truncate to the event-free
         # prefix in that (rare) case
+        # truncate to the event-free prefix: columns at or past the first
+        # death must be recomputed by the scalar step with the walker removed
         dead_cols = (cum < 0).any(axis=0)
         if dead_cols.any():
             t = int(np.argmax(dead_cols))
