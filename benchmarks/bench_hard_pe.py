@@ -16,7 +16,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-NUM_PAIRS = 4096
+NUM_PAIRS = int(__import__("os").environ.get("HARDPE_PAIRS", 4096))
 READ_LENGTH = 150
 REFERENCE_SIZE = 1_000_000
 SNP_RATE = 0.03

@@ -483,7 +483,8 @@ class CountingHashBlockPath:
                 if 0 <= qi < q.shape[0]:
                     ri = ref_start + check_offset
                     if 0 <= ri < r.shape[0]:
-                        if not basepairs.can_match(q[qi], r[ri]):
+                        # scalar can_match inlined: (a & b) != 0 on raw ints
+                        if not (int(q[qi]) & int(r[ri])):
                             n_mismatch += 1
                         else:
                             n_match += 1
