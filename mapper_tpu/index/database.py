@@ -574,6 +574,27 @@ class HashBlockDatabase:
         falls outside the neighboring territories ([ts,te) intervals in
         ``boundaries``; the segment before group ``group_index`` is bounded by
         territories group_index-1 and group_index)."""
+        keep_lo = boundaries[group_index - 1][1] if group_index > 0 else -(1 << 62)
+        keep_hi = boundaries[group_index][0] if group_index < len(boundaries) else 1 << 62
+        if self.enable_gapmers and os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
+            from mapper_tpu import native
+
+            emitted = native.native_collect_emit_range(
+                codes[s:e], s, n, keep_lo, keep_hi,
+                self.min_interesting_size, lo, hi, seq_start, rc_start,
+            )
+            if emitted is not None:
+                size_counts, keys, positions = emitted
+                bounds = np.zeros(size_counts.shape[0] + 1, dtype=np.int64)
+                np.cumsum(size_counts, out=bounds[1:])
+                for size in np.nonzero(size_counts)[0].tolist():
+                    sl = slice(bounds[size], bounds[size + 1])
+                    by_size_keys.setdefault(size, []).append(keys[sl])
+                    by_size_positions.setdefault(size, []).append(positions[sl])
+                    by_size_amb.setdefault(size, []).append(
+                        np.zeros(int(size_counts[size]), dtype=bool)
+                    )
+                return
         num_bp, fwd, rev, primary, secondary, start, length = self._collect_clean(
             codes[s:e], lo, hi
         )

@@ -127,6 +127,14 @@ def get_candidates_library():
                 i64, i64, i64, i64,        # seq_start, rc_start, window, pad
                 p_i32, p_i32, p_i64, p_i64, i64,  # sizes, keys, pos, size_counts, max_out
             ]
+            lib.mapper_collect_emit_range.restype = i64
+            lib.mapper_collect_emit_range.argtypes = [
+                p_u8, i64, i64, i64,       # codes, seg_len, pos_offset, full_n
+                i64, i64,                  # keep_lo, keep_hi
+                i32, i32, i32,             # min_interesting, lo, hi
+                i64, i64, i64, i64,        # seq_start, rc_start, window, pad
+                p_i32, p_i32, p_i64, p_i64, i64,
+            ]
             lib.mapper_ungapped_counts.restype = None
             lib.mapper_ungapped_counts.argtypes = [
                 p_u8, p_i64,               # read codes concat, read starts
@@ -467,6 +475,67 @@ def native_collect_emit(
         k = lib.mapper_collect_emit(
             codes.ctypes.data_as(p_u8),
             n,
+            min_interesting,
+            lo,
+            hi,
+            seq_start,
+            rc_start,
+            window,
+            pad,
+            out_sizes.ctypes.data_as(p_i32),
+            out_keys.ctypes.data_as(p_i32),
+            out_pos.ctypes.data_as(p_i64),
+            out_counts.ctypes.data_as(p_i64),
+            cap,
+        )
+        if k == -1:
+            cap *= 2
+            continue
+        if k < 0:
+            return None
+        return out_counts, out_keys[:k], out_pos[:k]
+
+
+def native_collect_emit_range(
+    codes: np.ndarray,
+    pos_offset: int,
+    full_n: int,
+    keep_lo: int,
+    keep_hi: int,
+    min_interesting: int,
+    lo: int,
+    hi: int,
+    seq_start: int,
+    rc_start: int,
+    window: int = 1 << 16,
+    pad: int = 4096,
+):
+    """native_collect_emit over one clean SEGMENT of an ambiguous sequence:
+    ``codes`` is the segment slice (standalone pyramid, matching the hybrid
+    partition rule), placed at ``pos_offset`` in a full sequence of length
+    ``full_n``; only blocks whose full-sequence start lies in [keep_lo,
+    keep_hi) are emitted.  Returns (size_counts, keys, positions) or None."""
+    lib = get_candidates_library()
+    if lib is None or not hasattr(lib, "mapper_collect_emit_range"):
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.shape[0]
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    cap = 2 * n + 4096
+    while True:
+        out_sizes = np.empty(cap, dtype=np.int32)
+        out_keys = np.empty(cap, dtype=np.int32)
+        out_pos = np.empty(cap, dtype=np.int64)
+        out_counts = np.zeros(hi + 1, dtype=np.int64)
+        k = lib.mapper_collect_emit_range(
+            codes.ctypes.data_as(p_u8),
+            n,
+            pos_offset,
+            full_n,
+            keep_lo,
+            keep_hi,
             min_interesting,
             lo,
             hi,

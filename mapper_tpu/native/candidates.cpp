@@ -735,10 +735,16 @@ struct EmitRows {
 // Walk one window's pyramid and append its core emissions.  Returns 0 on
 // success, 1 when the buffer pad proved too small (caller retries), -2 on
 // ambiguity (caller falls back to the numpy path).
+// pos_offset places the (possibly sliced) codes range inside the full
+// sequence: emitted starts are pos_offset+local, RC positions use full_n.
+// keep_lo/keep_hi restrict emission to full-sequence starts in [keep_lo,
+// keep_hi) (full range for whole-sequence callers).
 int walk_window_emit(const uint8_t* codes, int64_t n, int64_t buf_lo,
                      int64_t buf_hi, int64_t core_lo, int64_t core_hi,
                      int32_t min_interesting, int32_t lo, int32_t hi,
-                     int64_t seq_start, int64_t rc_start, EmitRows& out) {
+                     int64_t seq_start, int64_t rc_start, int64_t pos_offset,
+                     int64_t full_n, int64_t keep_lo, int64_t keep_hi,
+                     EmitRows& out) {
   int64_t len = buf_hi - buf_lo;
   if (len <= 0) return 0;
   bool truncated = buf_hi < n;
@@ -854,10 +860,12 @@ int walk_window_emit(const uint8_t* codes, int64_t n, int64_t buf_lo,
           primary = g_fwd >= g_rev;
           secondary = g_fwd <= g_rev;
         }
-        int64_t gg_start = buf_lo + g_start;  // global coordinates
+        int64_t gg_start = pos_offset + buf_lo + g_start;  // full-sequence
+        if (gg_start < keep_lo || gg_start >= keep_hi) continue;
         if (primary) out.push((int32_t)g_num_bp, g_fwd, seq_start + gg_start);
         if (secondary)
-          out.push((int32_t)g_num_bp, g_rev, rc_start + n - (gg_start + g_len));
+          out.push((int32_t)g_num_bp, g_rev,
+                   rc_start + full_n - (gg_start + g_len));
       }
     }
 
@@ -901,10 +909,11 @@ int walk_window_emit(const uint8_t* codes, int64_t n, int64_t buf_lo,
 // total number of rows written (grouped by size: out_size_counts[s] rows of
 // size s, in ascending-size order), -1 when max_out is too small, -2 on
 // ambiguity.
-extern "C" int64_t mapper_collect_emit(
+static int64_t collect_emit_impl(
     const uint8_t* codes, int64_t n, int32_t min_interesting, int32_t lo,
     int32_t hi, int64_t seq_start, int64_t rc_start, int64_t window,
-    int64_t pad, int32_t* out_sizes, int32_t* out_keys, int64_t* out_pos,
+    int64_t pad, int64_t pos_offset, int64_t full_n, int64_t keep_lo,
+    int64_t keep_hi, int32_t* out_sizes, int32_t* out_keys, int64_t* out_pos,
     int64_t* out_size_counts, int64_t max_out) {
   if (n <= 0) {
     for (int32_t s = 0; s <= hi; s++) out_size_counts[s] = 0;
@@ -928,6 +937,7 @@ extern "C" int64_t mapper_collect_emit(
       int64_t buf_hi = std::min(n, core_hi + this_pad);
       int rc = walk_window_emit(codes, n, buf_lo, buf_hi, core_lo, core_hi,
                                 min_interesting, lo, hi, seq_start, rc_start,
+                                pos_offset, full_n, keep_lo, keep_hi,
                                 rows[w]);
       if (rc == 1 && buf_hi - buf_lo < n) {
         this_pad *= 4;
@@ -965,6 +975,36 @@ extern "C" int64_t mapper_collect_emit(
     }
   }
   return total;
+}
+
+// Parallel fused collect+emit over one non-ambiguous sequence (grouped by
+// size; -1 = grow max_out, -2 = ambiguity).
+extern "C" int64_t mapper_collect_emit(
+    const uint8_t* codes, int64_t n, int32_t min_interesting, int32_t lo,
+    int32_t hi, int64_t seq_start, int64_t rc_start, int64_t window,
+    int64_t pad, int32_t* out_sizes, int32_t* out_keys, int64_t* out_pos,
+    int64_t* out_size_counts, int64_t max_out) {
+  return collect_emit_impl(codes, n, min_interesting, lo, hi, seq_start,
+                           rc_start, window, pad, 0, n, INT64_MIN, INT64_MAX,
+                           out_sizes, out_keys, out_pos, out_size_counts,
+                           max_out);
+}
+
+// Same over one clean SEGMENT of an ambiguous sequence: codes points at the
+// segment slice (standalone pyramid, as the hybrid partition requires),
+// pos_offset/full_n place it in the full sequence, and only blocks whose
+// full-sequence start lies in [keep_lo, keep_hi) are emitted (the hybrid
+// territory rule, HashBlockDatabase._hash_clean_segment).
+extern "C" int64_t mapper_collect_emit_range(
+    const uint8_t* codes, int64_t seg_len, int64_t pos_offset, int64_t full_n,
+    int64_t keep_lo, int64_t keep_hi, int32_t min_interesting, int32_t lo,
+    int32_t hi, int64_t seq_start, int64_t rc_start, int64_t window,
+    int64_t pad, int32_t* out_sizes, int32_t* out_keys, int64_t* out_pos,
+    int64_t* out_size_counts, int64_t max_out) {
+  return collect_emit_impl(codes, seg_len, min_interesting, lo, hi, seq_start,
+                           rc_start, window, pad, pos_offset, full_n, keep_lo,
+                           keep_hi, out_sizes, out_keys, out_pos,
+                           out_size_counts, max_out);
 }
 
 // ---------------------------------------------------------------------------

@@ -113,6 +113,33 @@ def test_clean_sequence_matches_oracle():
     _assert_match(db, basepairs.encode(text), 0, db.max_fully_set_up_size)
 
 
+def test_hybrid_build_native_vs_python_identical():
+    """Hybrid-path build (native clean-segment range collector + native
+    scalar windows) vs the all-Python build on a sequence big enough to
+    trigger the windowed partition."""
+    import os
+
+    rng = np.random.default_rng(31)
+    t = list(_random_text(rng, 30_000, amb_rate=0.0))
+    for p in rng.choice(30_000, size=10, replace=False):
+        t[p] = _AMBIG[int(rng.integers(0, len(_AMBIG)))]
+    t[1] = "N"
+    t[-3] = "R"
+    seq = Sequence.from_text("chr", "".join(t))
+
+    def build():
+        sdb = SequenceDatabase([seq], add_reverse_complements=True)
+        return HashBlockDatabase(sdb)
+
+    db_native = build()
+    os.environ["MAPPER_TPU_NATIVE"] = "0"
+    try:
+        db_python = build()
+    finally:
+        os.environ.pop("MAPPER_TPU_NATIVE", None)
+    db_native.verify_matches(db_python)
+
+
 def test_full_database_build_identical():
     """End-to-end: databases built with and without the native scalar path
     contain identical per-size indexes."""
