@@ -802,6 +802,7 @@ class BatchAligner:
         if alt_probes:
             base_summary = summarize(best)
             # keys the base run recorded per (sequence ids, voted offset):
+            # when the pair-level inputs replay (pair_inputs_replay below),
             # run(overrides) is a pure function of its _align_match results,
             # so a probe whose overridden rows reproduce the voted-offset
             # result under every max_error_rate the base run used replays in
@@ -821,6 +822,70 @@ class BatchAligner:
                     and a.get_penalty() == b.get_penalty()
                     and a.get_aligned_penalty() == b.get_aligned_penalty()
                 )
+
+            def spacing_pen(inner: float) -> float:
+                if inner < 0 and inner > -query.get_length():
+                    return 0.0
+                return float(
+                    int(
+                        abs(inner - query.get_expected_inner_distance())
+                        / query.get_spacing_deviation_per_unit_penalty()
+                    )
+                )
+
+            def combo_inner(c: int, overrides) -> int:
+                # QueryMatch.get_total_distance_between_components for combo c
+                # with the probe's offset overrides applied
+                from mapper_tpu.align.candidates import _INT_MAX
+
+                ends = []
+                refs = []
+                rev0 = False
+                for ci_c, r in (
+                    (0, int(combos["row0"][c])),
+                    (1, int(combos["row1"][c])),
+                ):
+                    base_c = components[2 * pair_index + ci_c]
+                    n = len(base_c)
+                    ref = self.seq_db.get_sequence(int(table.ref_seq_index[r]))
+                    off = overrides.get((ci_c, r), int(table.offset[r]))
+                    ends.append((max(0, off), min(off + n, len(ref))))
+                    refs.append(ref)
+                    if ci_c == 0:
+                        rev0 = bool(table.reversed_[r])
+                if refs[0] is not refs[1]:
+                    return _INT_MAX
+                (s0, e0), (s1, e1) = ends
+                return (s0 - e1) if rev0 else (s1 - e0)
+
+            def pair_inputs_replay(overrides) -> bool:
+                # run(overrides) is a pure function of its _align_match results
+                # ONLY when the pair-level quantities derived from the raw
+                # offsets also replay: _do_align consumes the offsets directly
+                # through the spacing penalty, the inner-distance sign branches
+                # (>0 early reject; <0 overlap join + estimated-overlap
+                # budget), and max_total_component_penalty (hence every
+                # sub_params error rate).  Require each affected combo to keep
+                # the same spacing penalty and the same non-negative
+                # inner-distance regime under the overrides; overlap-regime
+                # combos (inner < 0 on either side) never qualify because the
+                # join offset and the overlap budget read the raw offsets.
+                for c in sel.tolist():
+                    affected = (0, int(combos["row0"][c])) in overrides or (
+                        1,
+                        int(combos["row1"][c]),
+                    ) in overrides
+                    if not affected:
+                        continue
+                    inner_base = combo_inner(c, {})
+                    inner_alt = combo_inner(c, overrides)
+                    if inner_base < 0 or inner_alt < 0:
+                        return False
+                    if (inner_base > 0) != (inner_alt > 0):
+                        return False
+                    if spacing_pen(inner_base) != spacing_pen(inner_alt):
+                        return False
+                return True
 
             def rows_reproduce(overrides) -> bool:
                 for (ci_r, r), off_alt in overrides.items():
@@ -851,7 +916,7 @@ class BatchAligner:
                         overrides[(ci, r)] = alt
                 if not overrides:
                     continue  # every same-locus row already voted this diagonal
-                if rows_reproduce(overrides):
+                if pair_inputs_replay(overrides) and rows_reproduce(overrides):
                     continue  # lockstep replay: full enumeration unchanged
                 if summarize(run(overrides)) != base_summary:
                     return None  # sequential worker owns the tie

@@ -371,9 +371,6 @@ class AncestryDetector:
             (np.array([a.cumulative_score for a in available])[:, None], delta), axis=1
         )
         cum = np.cumsum(seeded, axis=1)[:, 1:]
-        # the no-death bound above is algebraic; float rounding at the exact
-        # boundary could still dip below zero — truncate to the event-free
-        # prefix in that (rare) case
         # truncate to the event-free prefix: columns at or past the first
         # death must be recomputed by the scalar step with the walker removed
         dead_cols = (cum < 0).any(axis=0)

@@ -266,3 +266,74 @@ def test_paired_engine_agreement_fuzz():
         if got != expected:
             mismatches.append((i, got, expected))
     assert not mismatches, (len(mismatches), mismatches[:2])
+
+
+def test_paired_engine_agreement_fuzz_hard():
+    """Hard paired fuzz with the bench_hard_pe error model (3% SNP + up to two
+    1-3 bp indel events per mate, inner distance N(100, 30),
+    spacing_deviation_per_unit_penalty=50): this is the regime that exercises
+    the exact-combo offset-invariance gate and its lockstep fast path —
+    equal-penalty indel tracebacks steered by the voted diagonal, plus
+    offset-dependent spacing penalties.  CI runs 160 pairs; MAPPER_TPU_FUZZ_N
+    scales it (pairs = max(160, MAPPER_TPU_FUZZ_N // 8))."""
+    import os
+
+    from benchmarks.bench_hard_pe import simulate
+
+    n_pairs = max(160, int(os.environ.get("MAPPER_TPU_FUZZ_N", "0")) // 8)
+    import benchmarks.bench_hard_pe as hpe
+
+    old = (hpe.NUM_PAIRS, hpe.REFERENCE_SIZE)
+    hpe.NUM_PAIRS = n_pairs
+    hpe.REFERENCE_SIZE = 150_000  # CI-sized; the bench itself runs 1 Mb
+    try:
+        ref_text, pairs = simulate(seed=1203)
+    finally:
+        hpe.NUM_PAIRS, hpe.REFERENCE_SIZE = old
+    index = Api.new_database({"chr1": ref_text})
+    params = AlignmentParameters.defaults()
+    queries = [
+        Query(
+            [a, b],
+            expected_inner_distance=100,
+            spacing_deviation_per_unit_penalty=50,
+        )
+        for a, b in pairs
+    ]
+
+    def summarize_pair(result):
+        rows = []
+        for alist in result.get_alignments():
+            rows.append(
+                tuple(
+                    sorted(
+                        (
+                            round(a.get_penalty(), 9),
+                            a.spacing_penalty,
+                            tuple(c.content_key() for c in a.get_components()),
+                        )
+                        for a in alist
+                    )
+                )
+            )
+        return tuple(rows)
+
+    sequential = AlignerWorker(index, params)
+    engine = BatchAligner(index, params)
+    batch_results = engine.process_batch(
+        [
+            Query(
+                [a, b],
+                expected_inner_distance=100,
+                spacing_deviation_per_unit_penalty=50,
+            )
+            for a, b in pairs
+        ]
+    )
+    mismatches = []
+    for i, q in enumerate(queries):
+        expected = summarize_pair(sequential.align(q))
+        got = summarize_pair(batch_results[i])
+        if got != expected:
+            mismatches.append((i, got, expected))
+    assert not mismatches, (len(mismatches), mismatches[:2])
