@@ -450,6 +450,46 @@ def local_align(
     reference_reversed = query.complemented_from is not None
     max_interesting = (q_end - q_start) * params.max_error_rate
 
+    # native fast path: the whole local_align (straight + gapped DP + justify
+    # + penalty accounting) in one C call, bit-identical to the Python path
+    # below (numpy-exact pairwise penalty sums; differential tests in
+    # tests/test_native_local_align.py).  Applicable whenever the analysis
+    # budgets follow _align_match_uncached's formula (the only caller).
+    import os as _os
+
+    if (
+        q_start == 0
+        and q_end == len(query)
+        and _os.environ.get("MAPPER_TPU_NATIVE", "1") != "0"
+        and analysis.max_insertion_extension_penalty
+        == max_interesting - params.insertion_start_penalty
+        and analysis.max_deletion_extension_penalty
+        == max_interesting - params.deletion_start_penalty
+    ):
+        from mapper_tpu.native import native_local_align_one
+
+        res = native_local_align_one(
+            query.codes,
+            ref.codes,
+            r_start,
+            r_end,
+            analysis.predicted_best_offset,
+            r_start == 0,
+            r_end == len(ref),
+            analysis.confident_about_best_offset,
+            params.max_error_rate,
+            params,
+        )
+        if res is not None:
+            status, rows, total, aligned = res
+            if status == -1:
+                return None
+            blocks = [
+                AlignedBlock(query, ref, sa, r_start + sb, la, lb)
+                for sa, sb, la, lb in rows.tolist()
+            ]
+            return SequenceAlignment(blocks, reference_reversed, total, aligned)
+
     simple = straight_alignment(
         query,
         ref,

@@ -68,9 +68,13 @@ def get_library():
         if not os.path.exists(_LIBRARY) or os.path.getmtime(_LIBRARY) < os.path.getmtime(
             _SOURCE
         ):
-            if not _build():
-                _load_failed = True
-                return None
+            # -ffp-contract=off: the batched local-align path's penalty sums
+            # must match numpy bit-for-bit; FMA contraction of a+b*c would
+            # change last-ulp results
+            if not _build(extra=("-ffp-contract=off", "-fopenmp")):
+                if not _build(extra=("-ffp-contract=off",)):
+                    _load_failed = True
+                    return None
         try:
             lib = ctypes.CDLL(_LIBRARY)
             lib.mapper_dp_align.restype = ctypes.c_int
@@ -86,6 +90,33 @@ def get_library():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_double),
+            ]
+            p_u8 = ctypes.POINTER(ctypes.c_uint8)
+            p_i8 = ctypes.POINTER(ctypes.c_int8)
+            p_i32 = ctypes.POINTER(ctypes.c_int32)
+            p_i64 = ctypes.POINTER(ctypes.c_int64)
+            p_f64 = ctypes.POINTER(ctypes.c_double)
+            lib.mapper_local_align_one.restype = ctypes.c_int
+            lib.mapper_local_align_one.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,    # q, qn
+                ctypes.c_void_p, ctypes.c_int,    # w, wn
+                ctypes.c_int64, ctypes.c_int,     # r_start_abs, pred_local
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # at_start, at_end, confident
+                ctypes.c_double,                  # rate
+                p_f64,                            # params8
+                p_i32, ctypes.c_int,              # blocks_out, max_blocks
+                p_f64, p_f64,                     # total, aligned
+            ]
+            lib.mapper_local_align_batch.restype = None
+            lib.mapper_local_align_batch.argtypes = [
+                p_u8, p_i64, p_i32,  # qbuf, q_off, q_len
+                p_u8, p_i64, p_i32,  # wbuf, w_off, w_len
+                p_i64, p_i32,        # r_start_abs, pred_local
+                p_u8, p_u8, p_u8,    # at_ref_start, at_ref_end, confident
+                p_f64, ctypes.c_int,  # rates, k
+                p_f64,               # params8
+                p_i8, p_i32, p_i32, ctypes.c_int32,  # status, nblocks, blocks, max_blocks_per
+                p_f64, p_f64,        # total, aligned
             ]
             _lib = lib
         except Exception:
@@ -598,6 +629,31 @@ def native_ungapped_counts(
     return out_counts, out_clean.astype(bool)
 
 
+def _params_array(params) -> np.ndarray:
+    """The 8-double Params block, cached on the params object (clones share
+    all fields except max_error_rate, which is passed separately)."""
+    arr = params.__dict__.get("_native_params")
+    if arr is None:
+        arr = np.array(
+            [
+                params.mutation_penalty,
+                params.ambiguity_penalty,
+                params.insertion_start_penalty,
+                params.insertion_extension_penalty,
+                params.deletion_start_penalty,
+                params.deletion_extension_penalty,
+                params.unaligned_penalty,
+                params.get_starting_insertion_start_penalty(),
+            ],
+            dtype=np.float64,
+        )
+        params.__dict__["_native_params"] = arr
+    return arr
+
+
+_dp_scratch = threading.local()
+
+
 def native_dp_align(
     q_codes: np.ndarray,
     w_codes: np.ndarray,
@@ -614,32 +670,24 @@ def native_dp_align(
         return None
     q = np.ascontiguousarray(q_codes, dtype=np.uint8)
     w = np.ascontiguousarray(w_codes, dtype=np.uint8)
-    params_arr = np.array(
-        [
-            params.mutation_penalty,
-            params.ambiguity_penalty,
-            params.insertion_start_penalty,
-            params.insertion_extension_penalty,
-            params.deletion_start_penalty,
-            params.deletion_extension_penalty,
-            params.unaligned_penalty,
-            params.get_starting_insertion_start_penalty(),
-        ],
-        dtype=np.float64,
-    )
+    params_arr = _params_array(params)
     max_blocks = q.shape[0] + w.shape[0] + 4
-    out_blocks = np.zeros((max_blocks, 4), dtype=np.int32)
+    buf = getattr(_dp_scratch, "blocks", None)
+    if buf is None or buf.shape[0] < max_blocks:
+        buf = np.empty((max(max_blocks, 512), 4), dtype=np.int32)
+        _dp_scratch.blocks = buf
     goal_penalty = ctypes.c_double(0.0)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
     count = lib.mapper_dp_align(
-        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        q.ctypes.data_as(p_u8),
         q.shape[0],
-        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w.ctypes.data_as(p_u8),
         w.shape[0],
         params_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         1 if may_extend else 0,
         float(max_ins_ext),
         float(max_interesting),
-        out_blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         max_blocks,
         ctypes.byref(goal_penalty),
     )
@@ -647,4 +695,135 @@ def native_dp_align(
         return None  # block overflow; numpy path decides
     if count < 0:
         return np.zeros((0, 4), dtype=np.int32), goal_penalty.value
-    return out_blocks[:count], goal_penalty.value
+    return buf[:count], goal_penalty.value
+
+
+def native_local_align_one(
+    query_codes: np.ndarray,
+    ref_codes: np.ndarray,
+    r_start: int,
+    r_end: int,
+    pred_abs: int,
+    at_ref_start: bool,
+    at_ref_end: bool,
+    confident: bool,
+    rate: float,
+    params,
+):
+    """Single-problem full local_align (dp.py::local_align in C++).  Returns
+    (status, blocks_int32[n,4] local coords, total, aligned) or None when the
+    library is unavailable; status -2 means fall back to the Python path."""
+    lib = get_library()
+    if lib is None:
+        return None
+    qn = query_codes.shape[0]
+    wn = r_end - r_start
+    max_blocks = qn + wn + 4
+    scratch = _dp_scratch
+    buf = getattr(scratch, "blocks", None)
+    if buf is None or buf.shape[0] < max_blocks:
+        buf = np.empty((max(max_blocks, 512), 4), dtype=np.int32)
+        scratch.blocks = buf
+    pens = getattr(scratch, "pens", None)
+    if pens is None:
+        pens = np.empty(2, dtype=np.float64)
+        scratch.pens = pens
+    if not query_codes.flags.c_contiguous:
+        query_codes = np.ascontiguousarray(query_codes)
+    if not ref_codes.flags.c_contiguous:
+        ref_codes = np.ascontiguousarray(ref_codes)
+    p_f64 = ctypes.POINTER(ctypes.c_double)
+    status = lib.mapper_local_align_one(
+        query_codes.ctypes.data,
+        qn,
+        ref_codes.ctypes.data + r_start,
+        wn,
+        r_start,
+        pred_abs - r_start,
+        1 if at_ref_start else 0,
+        1 if at_ref_end else 0,
+        1 if confident else 0,
+        rate,
+        _params_array(params).ctypes.data_as(p_f64),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_blocks,
+        pens[0:].ctypes.data_as(p_f64),
+        pens[1:].ctypes.data_as(p_f64),
+    )
+    if status == -2:
+        return None
+    if status == -1:
+        return -1, None, 0.0, 0.0
+    nb = 1 if status == 0 else status
+    return status, buf[:nb], float(pens[0]), float(pens[1])
+
+
+def native_local_align_batch(
+    qbuf: np.ndarray,
+    q_off: np.ndarray,
+    q_len: np.ndarray,
+    wbuf: np.ndarray,
+    w_off: np.ndarray,
+    w_len: np.ndarray,
+    r_start_abs: np.ndarray,
+    pred_local: np.ndarray,
+    at_ref_start: np.ndarray,
+    at_ref_end: np.ndarray,
+    confident: np.ndarray,
+    rates: np.ndarray,
+    params,
+):
+    """Batched full local_align (dp.py::local_align semantics in C++, OpenMP
+    over problems).  Returns (status int8[k], nblocks int32[k],
+    blocks int32[k, max_blocks_per, 4], total f64[k], aligned f64[k]) or None
+    when the library is unavailable.  status: -1 none, 0 straight, 1 gapped,
+    -2 fall back to the Python path for that problem."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "mapper_local_align_batch"):
+        return None
+    k = int(q_off.shape[0])
+    qbuf = np.ascontiguousarray(qbuf, dtype=np.uint8)
+    wbuf = np.ascontiguousarray(wbuf, dtype=np.uint8)
+    q_off = np.ascontiguousarray(q_off, dtype=np.int64)
+    q_len = np.ascontiguousarray(q_len, dtype=np.int32)
+    w_off = np.ascontiguousarray(w_off, dtype=np.int64)
+    w_len = np.ascontiguousarray(w_len, dtype=np.int32)
+    r_start_abs = np.ascontiguousarray(r_start_abs, dtype=np.int64)
+    pred_local = np.ascontiguousarray(pred_local, dtype=np.int32)
+    at_ref_start = np.ascontiguousarray(at_ref_start, dtype=np.uint8)
+    at_ref_end = np.ascontiguousarray(at_ref_end, dtype=np.uint8)
+    confident = np.ascontiguousarray(confident, dtype=np.uint8)
+    rates = np.ascontiguousarray(rates, dtype=np.float64)
+    max_blocks_per = int(q_len.max(initial=0) + w_len.max(initial=0) + 4)
+    status = np.empty(k, dtype=np.int8)
+    nblocks = np.empty(k, dtype=np.int32)
+    blocks = np.empty((k, max_blocks_per, 4), dtype=np.int32)
+    total = np.empty(k, dtype=np.float64)
+    aligned = np.empty(k, dtype=np.float64)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_f64 = ctypes.POINTER(ctypes.c_double)
+    lib.mapper_local_align_batch(
+        qbuf.ctypes.data_as(p_u8),
+        q_off.ctypes.data_as(p_i64),
+        q_len.ctypes.data_as(p_i32),
+        wbuf.ctypes.data_as(p_u8),
+        w_off.ctypes.data_as(p_i64),
+        w_len.ctypes.data_as(p_i32),
+        r_start_abs.ctypes.data_as(p_i64),
+        pred_local.ctypes.data_as(p_i32),
+        at_ref_start.ctypes.data_as(p_u8),
+        at_ref_end.ctypes.data_as(p_u8),
+        confident.ctypes.data_as(p_u8),
+        rates.ctypes.data_as(p_f64),
+        k,
+        _params_array(params).ctypes.data_as(p_f64),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        nblocks.ctypes.data_as(p_i32),
+        blocks.ctypes.data_as(p_i32),
+        max_blocks_per,
+        total.ctypes.data_as(p_f64),
+        aligned.ctypes.data_as(p_f64),
+    )
+    return status, nblocks, blocks, total, aligned

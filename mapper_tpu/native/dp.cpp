@@ -6,13 +6,26 @@
 // the batch engine's traceback finalization.  The Python implementation is the
 // semantic oracle; tests assert block-for-block equality.
 //
-// Build: g++ -O3 -march=native -shared -fPIC dp.cpp -o libmapperdp.so
+// mapper_local_align_batch additionally runs the FULL local_align semantics
+// (straight_alignment -> SkipHighAmbiguity -> path_align -> justify ->
+// new_sequence_alignment penalty accounting; dp.py::local_align) natively for
+// a batch of independent problems, OpenMP-parallel.  Float parity notes:
+//   - block penalties replicate numpy's pairwise summation exactly
+//     (pairwise_sum below == numpy pairwise_sum_DOUBLE, PW_BLOCKSIZE=128);
+//   - the 16x16 penalty table is built with the same operation order as
+//     AlignmentParameters.base_penalty (fnr = (pc-1)/3.0 first, then amb*fnr);
+//   - the build uses -ffp-contract=off so a+b*c never fuses.
+//
+// Build: g++ -O3 -march=native -ffp-contract=off [-fopenmp] -shared -fPIC
+//        dp.cpp -o libmapperdp.so
 // Binding: ctypes (mapper_tpu/native/__init__.py).
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <vector>
 #include <algorithm>
+#include <limits>
 
 namespace {
 
@@ -35,34 +48,78 @@ inline bool can_match(uint8_t a, uint8_t b) { return (a & b) != 0; }
 
 inline bool fully_ambiguous(uint8_t a) { return (a & 0xF) == 0xF; }
 
-inline double base_penalty(uint8_t q, uint8_t w, const Params& p) {
-  if (!can_match(q, w)) return p.mutation;
-  const int pc = popcount4(static_cast<uint8_t>(q | w));
-  return p.ambiguity * static_cast<double>(pc - 1) / 3.0;
+// 16x16 per-base penalty table, bit-identical to
+// AlignmentParameters.base_penalty: fnr computed first ((pc-1)/3.0 as its own
+// double), then ambiguity * fnr — the operation order matters for parity.
+struct PenaltyTable {
+  double t[16][16];
+  explicit PenaltyTable(const Params& p) {
+    for (int q = 0; q < 16; q++) {
+      for (int w = 0; w < 16; w++) {
+        if ((q & w) != 0) {
+          const int pc = popcount4(static_cast<uint8_t>(q | w));
+          const double fnr = static_cast<double>(pc >= 1 ? pc - 1 : 0) / 3.0;
+          t[q][w] = p.ambiguity * fnr;
+        } else {
+          t[q][w] = p.mutation;
+        }
+      }
+    }
+  }
+};
+
+// numpy's pairwise_sum_DOUBLE for contiguous doubles (PW_BLOCKSIZE = 128).
+double pairwise_sum(const double* a, long n) {
+  if (n < 8) {
+    double res = 0.0;
+    for (long i = 0; i < n; i++) res += a[i];
+    return res;
+  }
+  if (n <= 128) {
+    double r0 = a[0], r1 = a[1], r2 = a[2], r3 = a[3];
+    double r4 = a[4], r5 = a[5], r6 = a[6], r7 = a[7];
+    long i;
+    for (i = 8; i < n - (n % 8); i += 8) {
+      r0 += a[i + 0];
+      r1 += a[i + 1];
+      r2 += a[i + 2];
+      r3 += a[i + 3];
+      r4 += a[i + 4];
+      r5 += a[i + 5];
+      r6 += a[i + 6];
+      r7 += a[i + 7];
+    }
+    double res = ((r0 + r1) + (r2 + r3)) + ((r4 + r5) + (r6 + r7));
+    for (; i < n; i++) res += a[i];
+    return res;
+  }
+  long n2 = n / 2;
+  n2 -= n2 % 8;
+  return pairwise_sum(a, n2) + pairwise_sum(a + n2, n - n2);
 }
 
-}  // namespace
+struct DpScratch {
+  std::vector<double> best, insx, insy;
+  std::vector<uint8_t> rev_q, rev_w;
+  std::vector<double> pens;
+};
 
-extern "C" {
-
-// Fills the DP tables and runs the traceback.
-// q, w: 4-bit codes.  params: 8 doubles in Params order.
-// may_extend: contig-edge unaligned-tail rules active (forward orientation).
-// out_blocks: [max_blocks][4] = (start_a, start_b, len_a, len_b), local coords.
-// Returns the number of blocks, or -1 when no goal state exists.
-// out_goal_penalty receives the best goal penalty (search cost).
-int mapper_dp_align(const uint8_t* q, int n, const uint8_t* w, int m,
-                    const double* params_in, int may_extend,
-                    double max_ins_ext, double max_interesting,
-                    int32_t* out_blocks, int max_blocks,
-                    double* out_goal_penalty) {
-  Params p;
-  std::memcpy(&p, params_in, sizeof(Params));
-
+// Fills the DP tables and runs the traceback (the body of mapper_dp_align;
+// see that entry's comment for semantics).  Blocks are emitted goal-to-start.
+int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
+                      const Params& p, const PenaltyTable& tbl, int may_extend,
+                      double max_ins_ext,
+                      double max_interesting, int32_t* out_blocks,
+                      int max_blocks, double* out_goal_penalty,
+                      DpScratch& scratch) {
   const int stride = m + 1;
-  std::vector<double> best(static_cast<size_t>(n + 1) * stride, DISALLOWED);
-  std::vector<double> insx(best.size(), DISALLOWED);
-  std::vector<double> insy(best.size(), DISALLOWED);
+  const size_t cells = static_cast<size_t>(n + 1) * stride;
+  scratch.best.assign(cells, DISALLOWED);
+  scratch.insx.assign(cells, DISALLOWED);
+  scratch.insy.assign(cells, DISALLOWED);
+  std::vector<double>& best = scratch.best;
+  std::vector<double>& insx = scratch.insx;
+  std::vector<double>& insy = scratch.insy;
   auto B = [&](int x, int y) -> double& { return best[static_cast<size_t>(x) * stride + y]; };
   auto IX = [&](int x, int y) -> double& { return insx[static_cast<size_t>(x) * stride + y]; };
   auto IY = [&](int x, int y) -> double& { return insy[static_cast<size_t>(x) * stride + y]; };
@@ -131,7 +188,7 @@ int mapper_dp_align(const uint8_t* q, int n, const uint8_t* w, int m,
         if (x >= 2 && !can_match(q[x - 2], w[y - 1])) new_allowed = false;
         // next: query[x-1] vs ref[y] perfect or fully ambiguous -> disallow
         if (new_allowed && y < m) {
-          const double np = base_penalty(qc, w[y], p);
+          const double np = tbl.t[qc & 0xF][w[y] & 0xF];
           if (np == 0.0 || fully_ambiguous(qc) || fully_ambiguous(w[y]))
             new_allowed = false;
         }
@@ -145,7 +202,7 @@ int mapper_dp_align(const uint8_t* q, int n, const uint8_t* w, int m,
       bool del_allowed = true;
       if (y >= 2 && !can_match(qc, w[y - 2])) del_allowed = false;
       if (del_allowed && x < n) {
-        const double np = base_penalty(q[x], w[y - 1], p);
+        const double np = tbl.t[q[x] & 0xF][w[y - 1] & 0xF];
         if (np == 0.0 || fully_ambiguous(q[x]) || fully_ambiguous(w[y - 1]))
           del_allowed = false;
       }
@@ -154,7 +211,7 @@ int mapper_dp_align(const uint8_t* q, int n, const uint8_t* w, int m,
       const double iy = std::min(new_del, ext_del);
       IY(x, y) = iy;
 
-      const double overlay = B(x - 1, y - 1) + base_penalty(qc, w[y - 1], p);
+      const double overlay = B(x - 1, y - 1) + tbl.t[qc & 0xF][w[y - 1] & 0xF];
       B(x, y) = std::min(std::min(overlay, ix), iy);
     }
   }
@@ -226,6 +283,335 @@ int mapper_dp_align(const uint8_t* q, int n, const uint8_t* w, int m,
   }
   // blocks were emitted goal-to-start; callers reverse
   return nb;
+}
+
+// ---------------------------------------------------------------------------
+// Full local_align (dp.py::local_align) for one problem, local coordinates.
+// Mirrors, in order: straight_alignment + new_sequence_alignment accounting,
+// the confident-offset early decisions, SkipHighAmbiguity, path_align
+// (choose_search_reverse, DP, block mirroring, justify, leading-removable
+// drop, penalty accounting, final rounding check), and the straight-vs-gapped
+// tie rules.  Returns: -1 none, 0 straight, 1 gapped, -2 caller must fall
+// back to the Python path (block overflow).
+
+struct Block {
+  int sa, sb, la, lb;
+};
+
+inline bool can_remove_block(const Block& b, long r_start_abs) {
+  if (b.la <= 0 && b.lb <= 0) return true;
+  if ((b.sa <= 0 && b.la <= 0) || (r_start_abs + b.sb <= 0 && b.lb <= 0)) return true;
+  return false;
+}
+
+int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
+                    long r_start_abs, int pred_local, bool at_ref_start,
+                    bool at_ref_end, bool confident, double rate,
+                    const Params& p, const PenaltyTable& tbl,
+                    int32_t* blocks_out, int max_blocks, double* total_out,
+                    double* aligned_out, DpScratch& scratch) {
+  if (qn == 0 || wn == 0) return -1;
+  const double max_interesting = qn * rate;
+
+  // --- straight_alignment (StraightAligner.straightAlignment, java:73-94) ---
+  int qs = 0, qe = qn, rs = 0, re = wn;
+  const int off = pred_local;
+  if (qs + off > rs) rs = qs + off; else qs = rs - off;
+  if (qe + off < re) re = qe + off; else qe = re - off;
+  const bool have_straight = qe > qs;
+  double straight_aligned = 0.0, straight_total = 0.0;
+  if (have_straight) {
+    const int len = qe - qs;
+    scratch.pens.resize(len);
+    for (int i = 0; i < len; i++)
+      scratch.pens[i] = tbl.t[q[qs + i] & 0xF][w[rs + i] & 0xF];
+    straight_aligned = pairwise_sum(scratch.pens.data(), len);
+    straight_total = straight_aligned + (qn - len) * p.unaligned;
+  }
+  const double simple_pen = have_straight
+                                ? straight_aligned
+                                : std::numeric_limits<double>::infinity();
+  auto emit_straight = [&]() -> int {
+    blocks_out[0] = qs;
+    blocks_out[1] = rs;
+    blocks_out[2] = qe - qs;
+    blocks_out[3] = re - rs;
+    *total_out = straight_total;
+    *aligned_out = straight_aligned;
+    return 0;
+  };
+
+  if (have_straight && simple_pen <= 0.0) return emit_straight();
+
+  const double indel_penalty = std::min(p.starting_ins_start + p.ins_ext,
+                                        p.del_start + p.del_ext);
+  const double max_ins_budget = max_interesting - p.ins_start;
+  const double max_del_budget = max_interesting - p.del_start;
+  if (confident && have_straight) {
+    if (simple_pen <= indel_penalty ||
+        (max_ins_budget <= 0.0 && max_del_budget <= 0.0)) {
+      if (simple_pen <= max_interesting) return emit_straight();
+      return -1;
+    }
+    if (indel_penalty > max_interesting) return -1;
+  }
+
+  // --- SkipHighAmbiguity (java:13-27) ---
+  int num_amb = 0;
+  for (int i = 0; i < wn; i++)
+    if (popcount4(w[i]) != 1) num_amb++;
+  bool has_gapped = false;
+  double gapped_aligned = 0.0, gapped_total = 0.0;
+  int gapped_nb = 0;
+  std::vector<Block> sections;
+
+  if (num_amb < wn / 4) {
+    double gap_rate = rate;
+    if (have_straight) {
+      const double sr = simple_pen / qn;
+      if (sr < rate) gap_rate = sr;
+    }
+    const double max_interesting_g = qn * gap_rate;
+
+    // --- path_align: search direction (chooseSearchReverse, java:17-53) ---
+    const int diagonal = -pred_local;
+    const int ov_start = std::max(0, -pred_local);
+    const int ov_end = std::min(qn, wn - pred_local);
+    const int overlap_length = std::max(0, ov_end - ov_start);
+    long n_mismatch = 0, n_valid = 0, sum_mismatch = 0, sum_valid = 0;
+    for (int i = 0; i < overlap_length; i++) {
+      const int j = i - diagonal;
+      if (j < 0 || j >= wn) continue;
+      n_valid++;
+      sum_valid += i;
+      if ((q[i] & w[j] & 0xF) == 0) {
+        n_mismatch++;
+        sum_mismatch += i;
+      }
+    }
+    const long n_match = n_valid - n_mismatch;
+    bool search_reverse = true;
+    if (n_mismatch > 1 && n_match > 1) {
+      const long sum_match = sum_valid - sum_mismatch;
+      search_reverse = (sum_mismatch / n_mismatch) > (sum_match / n_match);
+    }
+
+    const bool may_extend = search_reverse ? at_ref_start : at_ref_end;
+    const uint8_t* dq = q;
+    const uint8_t* dw = w;
+    if (search_reverse) {
+      scratch.rev_q.resize(qn);
+      scratch.rev_w.resize(wn);
+      for (int i = 0; i < qn; i++) scratch.rev_q[i] = q[qn - 1 - i];
+      for (int i = 0; i < wn; i++) scratch.rev_w[i] = w[wn - 1 - i];
+      dq = scratch.rev_q.data();
+      dw = scratch.rev_w.data();
+    }
+
+    // raw DP blocks land in the caller's buffer (goal-to-start order)
+    double goal = 0.0;
+    const int nb = dp_fill_traceback(dq, qn, dw, wn, p, tbl,
+                                     may_extend ? 1 : 0, max_ins_budget,
+                                     max_interesting_g, blocks_out, max_blocks,
+                                     &goal, scratch);
+    if (nb == -2) return -2;
+    if (nb > 0) {
+      sections.clear();
+      sections.reserve(nb);
+      if (search_reverse) {
+        // native emits goal->start in reversed coords == start->goal forward
+        for (int b = 0; b < nb; b++) {
+          const int32_t* row = blocks_out + static_cast<size_t>(b) * 4;
+          sections.push_back(Block{qn - (row[0] + row[2]), wn - (row[1] + row[3]),
+                                   row[2], row[3]});
+        }
+      } else {
+        for (int b = nb - 1; b >= 0; b--) {
+          const int32_t* row = blocks_out + static_cast<size_t>(b) * 4;
+          sections.push_back(Block{row[0], row[1], row[2], row[3]});
+        }
+      }
+
+      // --- justify (PathAligner.justify, java:307-352; dp.py::_justify) ---
+      int i = 1;
+      while (i < static_cast<int>(sections.size()) - 1) {
+        while (true) {
+          Block& left = sections[i - 1];
+          Block& middle = sections[i];
+          Block& right = sections[i + 1];
+          if ((middle.la > 0) == (middle.lb > 0)) break;  // not an indel
+          if (left.la == 0 || left.lb == 0) break;
+          if (right.la == 0 || right.lb == 0) break;
+          if (middle.la > 0) {
+            // insertion: shift across matching A chars
+            if (q[left.sa + left.la - 1] != q[middle.sa + middle.la - 1]) break;
+          } else {
+            // deletion: shift across matching B chars
+            if (w[left.sb + left.lb - 1] != w[middle.sb + middle.lb - 1]) break;
+          }
+          left.la -= 1;
+          left.lb -= 1;
+          middle.sa -= 1;
+          middle.sb -= 1;
+          right.sa -= 1;
+          right.sb -= 1;
+          right.la += 1;
+          right.lb += 1;
+        }
+        i += 1;
+      }
+      // drop removable leading sections (PathAligner.canRemoveSection)
+      size_t first = 0;
+      while (first < sections.size() &&
+             can_remove_block(sections[first], r_start_abs))
+        first++;
+      if (first > 0) sections.erase(sections.begin(), sections.begin() + first);
+
+      if (!sections.empty()) {
+        // --- new_sequence_alignment (AlignmentParameters.java:73-95) ---
+        double total = 0.0;
+        long aligned_len = 0;
+        for (const Block& b : sections) {
+          double bp;
+          if (b.la == b.lb) {
+            scratch.pens.resize(b.la);
+            for (int x = 0; x < b.la; x++)
+              scratch.pens[x] = tbl.t[q[b.sa + x] & 0xF][w[b.sb + x] & 0xF];
+            bp = pairwise_sum(scratch.pens.data(), b.la);
+          } else if (b.la > 0) {
+            bp = p.ins_start + p.ins_ext * b.la;
+          } else {
+            bp = p.del_start + p.del_ext * b.lb;
+          }
+          total += bp;
+          aligned_len += b.la;
+        }
+        const bool starting_free =
+            p.starting_ins_start == 0.0 && p.ins_start != 0.0;
+        if (starting_free && sections.front().lb == 0) total -= p.ins_start;
+        const double aligned_pen = total;
+        const double total_pen = total + (qn - aligned_len) * p.unaligned;
+        // final rounding-error check (PathAligner.java:286-291)
+        if (!(aligned_pen > max_interesting_g + 0.000001)) {
+          has_gapped = true;
+          gapped_aligned = aligned_pen;
+          gapped_total = total_pen;
+          gapped_nb = static_cast<int>(sections.size());
+        }
+      }
+    }
+  }
+
+  // --- straight-vs-gapped tie rules (dp.py::local_align tail) ---
+  if (!has_gapped || (have_straight && gapped_aligned >= simple_pen)) {
+    if (have_straight && simple_pen <= max_interesting) return emit_straight();
+  }
+  if (!has_gapped) return -1;
+  if (gapped_nb > max_blocks) return -2;
+  for (int b = 0; b < gapped_nb; b++) {
+    int32_t* row = blocks_out + static_cast<size_t>(b) * 4;
+    row[0] = sections[b].sa;
+    row[1] = sections[b].sb;
+    row[2] = sections[b].la;
+    row[3] = sections[b].lb;
+  }
+  *total_out = gapped_total;
+  *aligned_out = gapped_aligned;
+  return gapped_nb;  // >= 1 means gapped with this many blocks
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fills the DP tables and runs the traceback.
+// q, w: 4-bit codes.  params: 8 doubles in Params order.
+// may_extend: contig-edge unaligned-tail rules active (forward orientation).
+// out_blocks: [max_blocks][4] = (start_a, start_b, len_a, len_b), local coords.
+// Returns the number of blocks, or -1 when no goal state exists.
+// out_goal_penalty receives the best goal penalty (search cost).
+int mapper_dp_align(const uint8_t* q, int n, const uint8_t* w, int m,
+                    const double* params_in, int may_extend,
+                    double max_ins_ext, double max_interesting,
+                    int32_t* out_blocks, int max_blocks,
+                    double* out_goal_penalty) {
+  Params p;
+  std::memcpy(&p, params_in, sizeof(Params));
+  const PenaltyTable tbl(p);
+  DpScratch scratch;
+  return dp_fill_traceback(q, n, w, m, p, tbl, may_extend, max_ins_ext,
+                           max_interesting, out_blocks, max_blocks,
+                           out_goal_penalty, scratch);
+}
+
+// Single-problem full local_align — the serial entry used by the sequential
+// driver's per-call path (query_aligner._align_match).  Same conventions as
+// the batch entry below; returns the status (-1 none, -2 python-fallback,
+// 0 straight, n>=1 gapped with n blocks).
+int mapper_local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
+                           int64_t r_start_abs, int pred_local,
+                           int at_ref_start, int at_ref_end, int confident,
+                           double rate, const double* params_in,
+                           int32_t* blocks_out, int max_blocks,
+                           double* total_out, double* aligned_out) {
+  Params p;
+  std::memcpy(&p, params_in, sizeof(Params));
+  const PenaltyTable tbl(p);
+  thread_local DpScratch scratch;
+  return local_align_one(q, qn, w, wn, r_start_abs, pred_local,
+                         at_ref_start != 0, at_ref_end != 0, confident != 0,
+                         rate, p, tbl, blocks_out, max_blocks, total_out,
+                         aligned_out, scratch);
+}
+
+// Batched full local_align (dp.py::local_align semantics; see the namespace
+// comment above).  Per problem i:
+//   query codes qbuf[q_off[i] : q_off[i]+q_len[i]], window codes likewise,
+//   r_start_abs[i] = absolute reference coordinate of the window start,
+//   pred_local[i] = predicted best offset minus window start,
+//   at_ref_start/at_ref_end: window touches the contig start/end,
+//   confident[i]: analysis.confident_about_best_offset,
+//   rates[i]: params.max_error_rate for this problem.
+// Outputs per problem:
+//   out_status[i]: -1 no alignment, 0 straight, 1 gapped, -2 fall back to
+//                  the Python path;
+//   out_nblocks[i] blocks at out_blocks[i*max_blocks_per*4 ...], local
+//   coordinates, start->goal order; out_total/out_aligned penalties.
+void mapper_local_align_batch(
+    const uint8_t* qbuf, const int64_t* q_off, const int32_t* q_len,
+    const uint8_t* wbuf, const int64_t* w_off, const int32_t* w_len,
+    const int64_t* r_start_abs, const int32_t* pred_local,
+    const uint8_t* at_ref_start, const uint8_t* at_ref_end,
+    const uint8_t* confident, const double* rates, int k,
+    const double* params_in, int8_t* out_status, int32_t* out_nblocks,
+    int32_t* out_blocks, int32_t max_blocks_per, double* out_total,
+    double* out_aligned) {
+  Params p;
+  std::memcpy(&p, params_in, sizeof(Params));
+  const PenaltyTable tbl(p);
+#pragma omp parallel
+  {
+    DpScratch scratch;
+#pragma omp for schedule(dynamic, 8)
+    for (int i = 0; i < k; i++) {
+      int32_t* blocks_i = out_blocks + static_cast<size_t>(i) * max_blocks_per * 4;
+      const int r = local_align_one(
+          qbuf + q_off[i], q_len[i], wbuf + w_off[i], w_len[i], r_start_abs[i],
+          pred_local[i], at_ref_start[i] != 0, at_ref_end[i] != 0,
+          confident[i] != 0, rates[i], p, tbl, blocks_i, max_blocks_per,
+          &out_total[i], &out_aligned[i], scratch);
+      if (r == -1 || r == -2) {
+        out_status[i] = static_cast<int8_t>(r);
+        out_nblocks[i] = 0;
+      } else if (r == 0) {
+        out_status[i] = 0;
+        out_nblocks[i] = 1;
+      } else {
+        out_status[i] = 1;
+        out_nblocks[i] = r;
+      }
+    }
+  }
 }
 
 }  // extern "C"
