@@ -102,6 +102,7 @@ struct DpScratch {
   std::vector<double> best, insx, insy;
   std::vector<uint8_t> rev_q, rev_w;
   std::vector<double> pens;
+  std::vector<int> wlo, whi;  // per-row written column range (banded init)
 };
 
 // Fills the DP tables and runs the traceback (the body of mapper_dp_align;
@@ -114,9 +115,23 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
                       DpScratch& scratch) {
   const int stride = m + 1;
   const size_t cells = static_cast<size_t>(n + 1) * stride;
-  scratch.best.assign(cells, DISALLOWED);
-  scratch.insx.assign(cells, DISALLOWED);
-  scratch.insy.assign(cells, DISALLOWED);
+  // Band-only initialization: the full-rectangle memset dominated the DP's
+  // runtime at production budgets (~740 KB per 150x200 call), so cells are
+  // written only where the band touches them; per-row written ranges
+  // (scratch.wlo/whi, plus column 0) gate every read outside the fill loop —
+  // unwritten cells read as DISALLOWED, exactly the value the full
+  // initialization gave them.
+  if (scratch.best.size() < cells) {
+    scratch.best.resize(cells);
+    scratch.insx.resize(cells);
+    scratch.insy.resize(cells);
+  }
+  if (scratch.wlo.size() < static_cast<size_t>(n + 1)) {
+    scratch.wlo.resize(n + 1);
+    scratch.whi.resize(n + 1);
+  }
+  std::vector<int>& wlo = scratch.wlo;
+  std::vector<int>& whi = scratch.whi;
   std::vector<double>& best = scratch.best;
   std::vector<double>& insx = scratch.insx;
   std::vector<double>& insy = scratch.insy;
@@ -127,24 +142,28 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
   const double ins_open = p.ins_start + p.ins_ext;
   const double del_open = p.del_start + p.del_ext;
 
-  // initial nodes (PathAligner.java:120-150)
-  if (m >= n) {
-    for (int j = 0; j <= m - n; j++) {
-      B(0, j) = 0.0;
-      IX(0, j) = may_extend ? p.starting_ins_start : DISALLOWED;
-    }
-  } else {
-    for (int i = 0; i <= n - m; i++) B(i, 0) = 0.0;
+  const int init_ins_count =
+      may_extend ? static_cast<int>(max_ins_ext / p.del_ext) : 0;
+  const int init_limit = std::min(init_ins_count, n + 1);
+  // column-0 node values (PathAligner.java:120-150; the may_extend loop of
+  // the reference overwrites the no-indel zeros for 1 <= i < limit,
+  // java:141-150,523-538)
+  auto col0_B = [&](int x) -> double {
+    if (x == 0) return 0.0;
+    if (may_extend && x < init_limit) return x * p.unaligned;
+    if (m < n && x <= n - m) return 0.0;
+    return DISALLOWED;
+  };
+
+  // initial nodes, row 0 in full (read by row 1 across its whole band)
+  for (int j = 0; j <= m; j++) {
+    B(0, j) = (m >= n && j <= m - n) ? 0.0 : DISALLOWED;
+    IX(0, j) = (m >= n && j <= m - n && may_extend) ? p.starting_ins_start
+                                                    : DISALLOWED;
+    IY(0, j) = DISALLOWED;
   }
-  if (may_extend) {
-    const int init_ins_count = static_cast<int>(max_ins_ext / p.del_ext);
-    const int limit = std::min(init_ins_count, n + 1);
-    for (int i = 1; i < limit; i++) {
-      B(i, 0) = i * p.unaligned;
-      IX(i, 0) = DISALLOWED;
-      IY(i, 0) = DISALLOWED;
-    }
-  }
+  wlo[0] = 0;
+  whi[0] = m;
 
   // Budget band: without contig-edge tails (may_extend), any path whose net
   // diagonal shift leaves the no-indel start range [min(0,m-n), max(0,m-n)]
@@ -177,6 +196,25 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
       y_lo = std::max(1, x + slack_lo - lo_span);
       y_hi = std::min(m, x + slack_hi + hi_span);
     }
+    // column 0 + the one-cell margins around this row's band; successive
+    // bands move right by at most one column per row, so row x+1's reads of
+    // row x stay inside [y_lo-1, y_hi+1] + column 0
+    B(x, 0) = col0_B(x);
+    IX(x, 0) = DISALLOWED;
+    IY(x, 0) = DISALLOWED;
+    if (y_lo >= 2) {
+      B(x, y_lo - 1) = DISALLOWED;
+      IX(x, y_lo - 1) = DISALLOWED;
+      IY(x, y_lo - 1) = DISALLOWED;
+    }
+    if (y_hi < m) {
+      B(x, y_hi + 1) = DISALLOWED;
+      IX(x, y_hi + 1) = DISALLOWED;
+      IY(x, y_hi + 1) = DISALLOWED;
+    }
+    wlo[x] = y_lo >= 2 ? y_lo - 1 : 0;
+    whi[x] = y_hi < m ? y_hi + 1 : m;
+    if (y_hi < y_lo) continue;
     for (int y = y_lo; y <= y_hi; y++) {
       // insX from the left (PathAligner.computeUpdated, java:591-637)
       double ix;
@@ -216,11 +254,22 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
     }
   }
 
+  // guarded reads: unwritten cells are DISALLOWED by construction
+  auto Bg = [&](int x, int y) -> double {
+    return (y == 0 || (y >= wlo[x] && y <= whi[x])) ? B(x, y) : DISALLOWED;
+  };
+  auto IXg = [&](int x, int y) -> double {
+    return (y == 0 || (y >= wlo[x] && y <= whi[x])) ? IX(x, y) : DISALLOWED;
+  };
+  auto IYg = [&](int x, int y) -> double {
+    return (y == 0 || (y >= wlo[x] && y <= whi[x])) ? IY(x, y) : DISALLOWED;
+  };
+
   // goal: min over y of best[n][y]; tie -> smallest y
   int goal_y = 0;
-  double goal = best[static_cast<size_t>(n) * stride];
+  double goal = Bg(n, 0);
   for (int y = 1; y <= m; y++) {
-    const double v = B(n, y);
+    const double v = Bg(n, y);
     if (v < goal) {
       goal = v;
       goal_y = y;
@@ -241,30 +290,30 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
     return true;
   };
 
-  while (i != 0 && j == m && may_extend && B(i, j) == IX(i, j) &&
-         IX(i, j) == B(i - 1, j) + p.unaligned) {
+  while (i != 0 && j == m && may_extend && Bg(i, j) == IXg(i, j) &&
+         IXg(i, j) == Bg(i - 1, j) + p.unaligned) {
     i -= 1;
   }
   while (i != 0 && j != 0) {
-    const double b = B(i, j);
-    if (b == IX(i, j) && !(j == m && may_extend)) {
+    const double b = Bg(i, j);
+    if (b == IXg(i, j) && !(j == m && may_extend)) {
       const int old_i = i;
       i -= 1;
       while (i != 0) {
-        const double other_new = B(i, j) + ins_open;
-        const double other_ext = IX(i, j) + p.ins_ext;
+        const double other_new = Bg(i, j) + ins_open;
+        const double other_ext = IXg(i, j) + p.ins_ext;
         if (other_new < other_ext) break;
         i -= 1;
       }
       if (!emit(i, j, old_i - i, 0)) return -2;
-    } else if (b == IX(i, j) && j == m && may_extend) {
+    } else if (b == IXg(i, j) && j == m && may_extend) {
       i -= 1;  // unaligned trailing step: no block
-    } else if (b == IY(i, j)) {
+    } else if (b == IYg(i, j)) {
       const int old_j = j;
       j -= 1;
       while (j != 0) {
-        const double other_new = B(i, j) + del_open;
-        const double other_ext = IY(i, j) + p.del_ext;
+        const double other_new = Bg(i, j) + del_open;
+        const double other_ext = IYg(i, j) + p.del_ext;
         if (other_new < other_ext) break;
         j -= 1;
       }
@@ -274,7 +323,7 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
       i -= 1;
       j -= 1;
       while (i != 0 && j != 0) {
-        if (B(i, j) == IX(i, j) || B(i, j) == IY(i, j)) break;
+        if (Bg(i, j) == IXg(i, j) || Bg(i, j) == IYg(i, j)) break;
         i -= 1;
         j -= 1;
       }
