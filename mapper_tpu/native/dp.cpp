@@ -155,9 +155,10 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
     return DISALLOWED;
   };
 
-  // initial nodes, row 0 in full (read by row 1 across its whole band)
+  // initial nodes, row 0 in full (read by row 1 across its whole band);
+  // (0,0) is a zero start node in both the m>=n and m<n regimes
   for (int j = 0; j <= m; j++) {
-    B(0, j) = (m >= n && j <= m - n) ? 0.0 : DISALLOWED;
+    B(0, j) = ((m >= n && j <= m - n) || j == 0) ? 0.0 : DISALLOWED;
     IX(0, j) = (m >= n && j <= m - n && may_extend) ? p.starting_ins_start
                                                     : DISALLOWED;
     IY(0, j) = DISALLOWED;

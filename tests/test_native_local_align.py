@@ -158,6 +158,43 @@ def test_native_local_align_contig_edges(edge, monkeypatch):
         assert summarize(native) == summarize(oracle), (edge, trial)
 
 
+def test_native_local_align_window_shorter_than_query(monkeypatch):
+    """m < n regime (reference window shorter than the query, e.g. a tiny
+    contig): the DP's column-0 start nodes carry the alignment — regression
+    for the banded-init B(0,0) node."""
+    rng = np.random.default_rng(909)
+    for trial in range(40):
+        ref_len = int(rng.integers(12, 40))
+        ref = Sequence(
+            "r",
+            basepairs.encode("".join(rng.choice(list("ACGT"), size=ref_len))),
+        )
+        extra = int(rng.integers(1, 8))
+        read = list(ref.codes)
+        j = int(rng.integers(1, ref_len - 1))
+        for _k in range(extra):
+            read.insert(j, [1, 2, 4, 8][int(rng.integers(0, 4))])
+        if rng.random() < 0.5:
+            jj = int(rng.integers(0, len(read)))
+            read[jj] = [1, 2, 4, 8][int(rng.integers(0, 4))]
+        query = Sequence("q", np.array(read, dtype=np.uint8))
+        params = AlignmentParameters.defaults(max_error_rate=0.3)
+        n = len(query)
+        max_interesting = n * params.max_error_rate
+        analysis = AlignmentAnalysis(
+            predicted_best_offset=0,
+            confident_about_best_offset=True,
+            max_insertion_extension_penalty=max_interesting
+            - params.insertion_start_penalty,
+            max_deletion_extension_penalty=max_interesting
+            - params.deletion_start_penalty,
+        )
+        native, oracle = run_both(
+            query, ref, 0, ref_len, params, analysis, monkeypatch
+        )
+        assert summarize(native) == summarize(oracle), trial
+
+
 def test_native_local_align_high_ambiguity_window(monkeypatch):
     """SkipHighAmbiguity: >= 1/4 ambiguous reference bases disables the
     gapped search; the native path must take the same branch."""
