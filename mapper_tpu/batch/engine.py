@@ -100,6 +100,9 @@ class BatchAligner:
         # optimistic fast-path counter (Mapper.java:843-845)
         self.stats_batch_resolved = 0
         self._ref_cache: dict[int, tuple] = {}
+        # optional collections.Counter: the gapped-finalization gates count
+        # their reject reasons here when set (perf debugging)
+        self._gap_debug = None
 
     # ------------------------------------------------------------------
 
@@ -1291,6 +1294,279 @@ class BatchAligner:
             ungapped = sctx["host_ungapped"]
         return ungapped, banded
 
+    # ---- exact-DP finalization for isolated gapped winners ----------
+    # A read whose single emitted candidate wins with an indel only needs
+    # a traceback the banded kernel does not produce; running the
+    # sequential engine's own per-candidate driver (QueryMatchAligner
+    # .align on the voted position — identical window geometry, budgets,
+    # tie rules) yields the alignment the exact path would emit at
+    # ~1/100th of the full worker's per-read cost (the worker re-walks
+    # the pyramid in Python; BENCH.md "Hard data").  Gated to reads whose
+    # decision is robust against kernel f32 error: a unique emitted row
+    # with margin, comfortably under the accept threshold, interior to
+    # the contig, inside the certified band.  The native batch route runs
+    # the identical algebra with the local_align core batched across
+    # reads (two OpenMP waves: base alignments, then offset-invariance
+    # probes); _finalize_one_gap_job_python is the oracle fallback.
+
+    def _finalize_gap_jobs(self, jobs, results, best_per_read, gap_margin):
+        import os as _os
+
+        if _os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
+            from mapper_tpu.native import get_library
+
+            if get_library() is not None:
+                self._finalize_gap_jobs_native(jobs, results, best_per_read, gap_margin)
+                return
+        for job in jobs:
+            self._finalize_one_gap_job_python(job, results, best_per_read, gap_margin)
+
+    def _finalize_one_gap_job_python(self, job, results, best_per_read, gap_margin):
+        """The per-read sequential-driver finalization (semantic oracle for
+        the batched native route below)."""
+        from mapper_tpu.align.candidates import QueryMatch, SequenceMatch
+        from mapper_tpu.align.query_aligner import QueryMatchAligner
+
+        p = self.parameters
+        r = job["r"]
+        query, seq_a, ref, o = job["query"], job["seq_a"], job["ref"], job["o"]
+        qma = QueryMatchAligner(query, p, self.reference_index)
+        qa = qma.align(QueryMatch([SequenceMatch(seq_a, ref, o, True)], 1))
+        if qa is None:
+            return
+        choices = qma.get_best_alignments()
+        # the exact result must corroborate the kernel's decision
+        if len(choices) != 1 or abs(choices[0].get_penalty() - best_per_read[r]) > gap_margin:
+            return
+        # equal-penalty tracebacks are offset-sensitive (the predicted
+        # diagonal steers PathAligner's tie-breaking).  Emit only if every
+        # plausible predicted offset — the other vote rows of this locus and
+        # the alignment's own gapless-run diagonals — reproduces the
+        # identical alignment.
+        offsets = set(job["locus"])
+        comp = choices[0].get_component(0)
+        for s in comp.sections:
+            if s.length_a == s.length_b and s.length_a > 0:
+                offsets.add(int(s.start_b - s.start_a))
+        offsets.discard(o)
+        key0 = choices[0].content_key()
+        pen0 = choices[0].get_penalty()
+        for o2 in offsets:
+            alt = QueryMatchAligner(query, p, self.reference_index).align(
+                QueryMatch([SequenceMatch(seq_a, ref, o2, True)], 1)
+            )
+            if alt is None or alt.content_key() != key0 or alt.get_penalty() != pen0:
+                return
+        results[r] = QueryAlignments.single_component(query.get_sequences(), choices)
+
+    def _run_local_align_wave(self, wave):
+        """One batched native local_align call.  wave: list of
+        (seq_a, ref, o, rate) tuples.  Returns (status, nblocks, blocks,
+        total, aligned, r_starts) or None when the library bails."""
+        from mapper_tpu.native import native_local_align_batch
+
+        p = self.parameters
+        k = len(wave)
+        qparts = []
+        wparts = []
+        q_off = np.empty(k, dtype=np.int64)
+        q_len = np.empty(k, dtype=np.int32)
+        w_off = np.empty(k, dtype=np.int64)
+        w_len = np.empty(k, dtype=np.int32)
+        r_starts = np.empty(k, dtype=np.int64)
+        preds = np.empty(k, dtype=np.int32)
+        at_s = np.empty(k, dtype=np.uint8)
+        at_e = np.empty(k, dtype=np.uint8)
+        rates = np.empty(k, dtype=np.float64)
+        qo = wo = 0
+        for i, (seq_a, ref, o, rate) in enumerate(wave):
+            n = len(seq_a)
+            mi = n * rate
+            max_indel = int(
+                max(
+                    0.0,
+                    (mi - p.deletion_start_penalty) / p.deletion_extension_penalty,
+                )
+            )
+            rs = max(0, o - max_indel)
+            re_ = min(o + n + max_indel, len(ref))
+            qparts.append(seq_a.codes)
+            wparts.append(ref.codes[rs:re_])
+            q_off[i] = qo
+            q_len[i] = n
+            w_off[i] = wo
+            w_len[i] = re_ - rs
+            r_starts[i] = rs
+            preds[i] = o - rs
+            at_s[i] = rs == 0
+            at_e[i] = re_ == len(ref)
+            rates[i] = rate
+            qo += n
+            wo += re_ - rs
+        out = native_local_align_batch(
+            np.concatenate(qparts),
+            q_off,
+            q_len,
+            np.concatenate(wparts),
+            w_off,
+            w_len,
+            r_starts,
+            preds,
+            at_s,
+            at_e,
+            np.ones(k, dtype=np.uint8),
+            rates,
+            p,
+        )
+        if out is None:
+            return None
+        return (*out, r_starts)
+
+    def _finalize_gap_jobs_native(self, jobs, results, best_per_read, gap_margin):
+        """Batched finalization: wave 1 aligns every job's voted position,
+        Python-scalar replication of the driver's accept algebra filters,
+        wave 2 runs all offset-invariance probes, winners are materialized
+        from the native block arrays.  Bit-identical to
+        _finalize_one_gap_job_python (pinned by tests)."""
+        import math
+
+        p = self.parameters
+        R = p.max_error_rate
+        span = p.max_penalty_span
+
+        def dru(a, b):
+            res = a / b
+            if res * b < a:
+                res = math.nextafter(res, math.inf)
+            return res
+
+        # the driver's per-call rate: _do_align's single-component budget
+        # (max_allowed = nextUp(n*R); average_rate = divideRoundUp(max_allowed, n))
+        for job in jobs:
+            n = len(job["seq_a"])
+            job["n"] = n
+            job["max_allowed"] = math.nextafter(n * R, math.inf)
+            job["rate"] = dru(job["max_allowed"], n)
+
+        wave1 = [(j["seq_a"], j["ref"], j["o"], j["rate"]) for j in jobs]
+        out = self._run_local_align_wave(wave1)
+        if out is None:
+            for job in jobs:
+                self._finalize_one_gap_job_python(job, results, best_per_read, gap_margin)
+            return
+        status, nblocks, blocks, total, aligned, r_starts = out
+
+        survivors = []
+        probes = []  # (job, o2)
+        for i, job in enumerate(jobs):
+            dbg = self._gap_debug
+            st = int(status[i])
+            if st == -2:  # native bailed: per-read oracle decides
+                self._finalize_one_gap_job_python(job, results, best_per_read, gap_margin)
+                continue
+            if st == -1:
+                if dbg is not None:
+                    dbg["align_none"] += 1
+                continue  # align() returned None
+            pen = float(total[i])
+            if pen > job["max_allowed"]:
+                if dbg is not None:
+                    dbg["over_budget"] += 1
+                continue  # _do_align's final accept check failed
+            # get_best_alignments: cutoff = min(best+span, n*rate_now) with
+            # rate_now tightened by align() after this (single) alignment
+            new_rate = dru(pen + span, job["n"])
+            rate_now = new_rate if new_rate < R else R
+            cutoff = min(pen + span, job["n"] * rate_now)
+            if pen > cutoff:
+                if dbg is not None:
+                    dbg["choices_empty"] += 1
+                continue  # choices empty
+            if abs(pen - best_per_read[job["r"]]) > gap_margin:
+                if dbg is not None:
+                    dbg["margin_mismatch"] += 1
+                continue
+            nb = int(nblocks[i])
+            rs = int(r_starts[i])
+            abs_blocks = tuple(
+                (sa, rs + sb, la, lb) for sa, sb, la, lb in blocks[i, :nb].tolist()
+            )
+            offsets = set(job["locus"])
+            for sa, sb_abs, la, lb in abs_blocks:
+                if la == lb and la > 0:
+                    offsets.add(sb_abs - sa)
+            offsets.discard(job["o"])
+            job["pen0"] = pen
+            job["aligned0"] = float(aligned[i])
+            job["blocks0"] = abs_blocks
+            job["status0"] = st
+            job["pending"] = len(offsets)
+            job["ok"] = True
+            survivors.append(job)
+            for o2 in sorted(offsets):
+                probes.append((job, o2))
+
+        if probes:
+            wave2 = [(j["seq_a"], j["ref"], o2, j["rate"]) for j, o2 in probes]
+            out2 = self._run_local_align_wave(wave2)
+            if out2 is None:
+                for job in {id(j): j for j, _ in probes}.values():
+                    job["ok"] = False
+                    self._finalize_one_gap_job_python(
+                        job, results, best_per_read, gap_margin
+                    )
+                survivors = [j for j in survivors if j.get("ok", False)]
+            else:
+                s2, nb2, bl2, tot2, al2, rs2 = out2
+                for i, (job, o2) in enumerate(probes):
+                    if not job["ok"]:
+                        continue
+                    st2 = int(s2[i])
+                    if st2 == -2:
+                        # could not verify natively: oracle decides the read
+                        job["ok"] = False
+                        self._finalize_one_gap_job_python(
+                            job, results, best_per_read, gap_margin
+                        )
+                        continue
+                    if st2 == -1 or float(tot2[i]) > job["max_allowed"]:
+                        job["ok"] = False  # alt is None
+                        if self._gap_debug is not None:
+                            self._gap_debug["probe_none"] += 1
+                        continue
+                    if float(tot2[i]) != job["pen0"]:
+                        job["ok"] = False
+                        if self._gap_debug is not None:
+                            self._gap_debug["probe_penalty"] += 1
+                        continue
+                    rsp = int(rs2[i])
+                    alt_blocks = tuple(
+                        (sa, rsp + sb, la, lb)
+                        for sa, sb, la, lb in bl2[i, : int(nb2[i])].tolist()
+                    )
+                    if alt_blocks != job["blocks0"]:
+                        job["ok"] = False
+                        if self._gap_debug is not None:
+                            self._gap_debug["probe_blocks"] += 1
+
+        from mapper_tpu.align.blocks import SequenceAlignment
+
+        for job in survivors:
+            if not job["ok"]:
+                continue
+            seq_a, ref = job["seq_a"], job["ref"]
+            sections = [
+                AlignedBlock(seq_a, ref, sa, sb_abs, la, lb)
+                for sa, sb_abs, la, lb in job["blocks0"]
+            ]
+            component = SequenceAlignment(
+                sections, job["rev"], job["pen0"], job["aligned0"]
+            )
+            qa = QueryAlignment([component], 0.0, 1.0, 0.0, job["pen0"], 0)
+            results[job["r"]] = QueryAlignments.single_component(
+                job["query"].get_sequences(), [qa]
+            )
+
     def _finish_single_end(self, ctx) -> list[QueryAlignments | None]:
         """Materialize one chunk's device scores and make the per-read
         decisions (second pipeline stage)."""
@@ -1433,12 +1709,10 @@ class BatchAligner:
         if fallback_reads is not None:
             gap_reads &= ~fallback_reads
         if np.any(gap_reads):
-            from mapper_tpu.align.candidates import QueryMatch, SequenceMatch
-            from mapper_tpu.align.query_aligner import QueryMatchAligner
-
             margin_row = viable & (
                 score <= best_per_read[table.read_id] + p.max_penalty_span + GAP_MARGIN
             )
+            jobs = []
             for r in np.nonzero(gap_reads)[0].tolist():
                 # all competitive rows must form ONE locus (same strand and
                 # contig, offsets within the indel budget of each other —
@@ -1471,57 +1745,32 @@ class BatchAligner:
                 rev = bool(table.reversed_[c])
                 seq_a = seq.reverse_complement() if rev else seq
                 o = int(table.offset[c])
-                qma = QueryMatchAligner(query, p, self.reference_index)
-                qa = qma.align(QueryMatch([SequenceMatch(seq_a, ref, o, True)], 1))
-                if qa is None:
-                    continue
-                choices = qma.get_best_alignments()
-                # the exact result must corroborate the kernel's decision
-                if (
-                    len(choices) != 1
-                    or abs(choices[0].get_penalty() - best_per_read[r]) > GAP_MARGIN
-                ):
-                    continue
-                # the sequential engine's voted offset can be a NEIGHBORING
-                # diagonal of the same locus (indel-shifted seeds), and
-                # equal-penalty tracebacks are offset-sensitive (the
-                # predicted diagonal steers PathAligner's tie-breaking).
-                # Emit only if every plausible predicted offset — the other
-                # vote rows of this locus and the alignment's own
-                # gapless-run diagonals — reproduces the identical alignment.
-                offsets = set()
-                mi = int(max_indel_read[r])
-                for rr in order[starts[r] : ends[r]].tolist():
+                # plausible alternative predicted offsets from the OTHER vote
+                # rows of this locus (the sequential engine can vote a
+                # neighboring diagonal of the same placement); the winning
+                # alignment's own gapless-run diagonals join the set after
+                # the base alignment is known
+                locus_offsets = set()
+                for rr in all_rows:
                     if (
                         bool(table.reversed_[rr]) == rev
                         and int(table.ref_seq_index[rr]) == seqidx
                         and abs(int(table.offset[rr]) - o) <= mi
                     ):
-                        offsets.add(int(table.offset[rr]))
-                comp = choices[0].get_component(0)
-                for s in comp.sections:
-                    if s.length_a == s.length_b and s.length_a > 0:
-                        offsets.add(int(s.start_b - s.start_a))
-                offsets.discard(o)
-                key0 = choices[0].content_key()
-                pen0 = choices[0].get_penalty()
-                ok = True
-                for o2 in offsets:
-                    alt = QueryMatchAligner(query, p, self.reference_index).align(
-                        QueryMatch([SequenceMatch(seq_a, ref, o2, True)], 1)
-                    )
-                    if (
-                        alt is None
-                        or alt.content_key() != key0
-                        or alt.get_penalty() != pen0
-                    ):
-                        ok = False
-                        break
-                if not ok:
-                    continue
-                results[r] = QueryAlignments.single_component(
-                    query.get_sequences(), choices
+                        locus_offsets.add(int(table.offset[rr]))
+                jobs.append(
+                    {
+                        "r": r,
+                        "query": query,
+                        "seq_a": seq_a,
+                        "ref": ref,
+                        "o": o,
+                        "rev": rev,
+                        "locus": locus_offsets,
+                    }
                 )
+            if jobs:
+                self._finalize_gap_jobs(jobs, results, best_per_read, GAP_MARGIN)
         emit_sorted = emit[order]
         eligible = nonempty & ~bad_reads & (emit_counts > 0)
         if fallback_reads is not None:
