@@ -102,8 +102,6 @@ def _convert_block_row(row) -> list[scalar.Slot]:
 
 
 def _slot_start(slot: scalar.Slot) -> int:
-    if isinstance(slot, scalar.ScalarHashBlock):
-        return slot.start
     return slot.start
 
 
@@ -112,7 +110,7 @@ def _row_get_after(row: list[scalar.Slot], position: int) -> scalar.Slot | None:
     lo, hi = 0, len(row)
     while lo < hi:
         mid = (lo + hi) // 2
-        if _slot_start(row[mid]) > position:
+        if row[mid].start > position:
             hi = mid
         else:
             lo = mid + 1
@@ -473,18 +471,21 @@ class CountingHashBlockPath:
         self, block: scalar.ScalarHashBlock, ref_seq: Sequence, ref_start: int
     ) -> bool:
         """The +-20bp sampling check rejecting hash collisions (java:95-153)."""
-        q = self.query.codes
-        r = ref_seq.codes
+        q = self.query.codes_bytes
+        r = ref_seq.codes_bytes
+        qn = len(q)
+        rn = len(r)
+        bs = block.start
+        right = bs + block.length - 1
         n_mismatch = 0
         n_match = 0
         for distance in range(1, 20):
-            for check_offset in (-distance, block.length - 1 + distance):
-                qi = block.start + check_offset
-                if 0 <= qi < q.shape[0]:
-                    ri = ref_start + check_offset
-                    if 0 <= ri < r.shape[0]:
+            for qi in (bs - distance, right + distance):
+                if 0 <= qi < qn:
+                    ri = qi - bs + ref_start
+                    if 0 <= ri < rn:
                         # scalar can_match inlined: (a & b) != 0 on raw ints
-                        if not (int(q[qi]) & int(r[ri])):
+                        if not (q[qi] & r[ri]):
                             n_mismatch += 1
                         else:
                             n_match += 1

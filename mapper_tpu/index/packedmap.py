@@ -181,9 +181,12 @@ class PackedIndex:
     def bin_of(self, key) -> np.ndarray:
         return np.mod(np.asarray(key, dtype=np.int64), self.capacity)
 
-    def num_matches_lower_bound(self, key) -> np.ndarray:
+    def num_matches_lower_bound(self, key) -> np.ndarray | int:
         """PackedMap.getNumMatchesLowerBound (java:228-236): MAX_VALUE when the
         bin overflowed, else the bin count."""
+        if isinstance(key, int):  # scalar fast path (the sequential walk)
+            c = int(self.counts[key % self.capacity])
+            return _INT_MAX if c > self.max_interesting_count else c
         b = self.bin_of(key)
         counts = self.counts[b].astype(np.int64)
         return np.where(counts > self.max_interesting_count, _INT_MAX, counts)

@@ -35,6 +35,7 @@ class Sequence:
         "complemented_from",
         "identifier",
         "_rc_cache",
+        "_codes_bytes",
     )
 
     def __init__(
@@ -54,6 +55,18 @@ class Sequence:
         self.complemented_from = complemented_from
         self.identifier = identifier
         self._rc_cache: "Sequence | None" = None
+        self._codes_bytes: bytes | None = None
+
+    @property
+    def codes_bytes(self) -> bytes:
+        """The codes as an immutable bytes object (cached) — Python-int
+        indexing into bytes is ~3x faster than numpy scalar extraction, which
+        matters in the sequential walk's per-base sampling loops."""
+        b = self._codes_bytes
+        if b is None:
+            b = self.codes.tobytes()
+            self._codes_bytes = b
+        return b
 
     @staticmethod
     def from_text(name: str, text: str, path: str | None = None) -> "Sequence":
