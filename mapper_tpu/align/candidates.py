@@ -46,29 +46,72 @@ class QueryPyramid:
     keep the scalar object model (MultiBlock expansion)."""
 
     def __init__(self, sequence: Sequence):
+        import os as _os
+
         self.sequence = sequence
         codes = sequence.codes
         self._vector_rows = None
+        self._native_levels = None
         if codes.shape[0] and not np.any(basepairs.POPCOUNT_TABLE[codes] != 1):
+            if _os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
+                from mapper_tpu.native import native_query_rows
+
+                nat = native_query_rows(codes)
+                if nat is not None:
+                    counts, fields = nat
+                    levels = []
+                    off = 0
+                    for c in counts.tolist():
+                        levels.append(fields[off : off + c])
+                        off += c
+                    self._native_levels = levels
+                    self.rows: list[list[scalar.Slot]] = []
+                    return
             from mapper_tpu.index import hashblock as _hb
 
             self._hb = _hb
             self._vector_rows = [_hb.base_row(codes)]
-            self.rows: list[list[scalar.Slot]] = [
-                _convert_block_row(self._vector_rows[0])
-            ]
+            self.rows = [_convert_block_row(self._vector_rows[0])]
         else:
             self.rows = [scalar.scalar_base_row(codes)]
 
     def get(self, level: int) -> list[scalar.Slot]:
         while len(self.rows) <= level:
-            if self._vector_rows is not None:
+            if self._native_levels is not None:
+                idx = len(self.rows)
+                if idx < len(self._native_levels):
+                    self.rows.append(_convert_fields_row(self._native_levels[idx]))
+                else:
+                    # the native builder stops at the first <2-block row;
+                    # every deeper merge is empty
+                    self.rows.append([])
+            elif self._vector_rows is not None:
                 nxt = self._hb.merge_row(self._vector_rows[-1])
                 self._vector_rows.append(nxt)
                 self.rows.append(_convert_block_row(nxt))
             else:
                 self.rows.append(scalar.scalar_merge_row(self.rows[-1]))
         return self.rows[level]
+
+
+def _convert_fields_row(fields: np.ndarray) -> list[scalar.Slot]:
+    """Native row fields ([k, 10] int32: start, length, fwd, rev, extra,
+    gap_dir, req_l, req_r, next_l, next_r) -> ScalarHashBlock objects."""
+    out = []
+    for start, length, fwd, rev, extra, gap_dir, req_l, req_r, next_l, next_r in (
+        fields.tolist()
+    ):
+        b = scalar.ScalarHashBlock(start, length)
+        b.fwd = fwd
+        b.rev = rev
+        b.req_l = bool(req_l)
+        b.req_r = bool(req_r)
+        b.next_l = bool(next_l)
+        b.next_r = bool(next_r)
+        b.gap_dir = gap_dir
+        b.extra_gapmer = extra
+        out.append(b)
+    return out
 
 
 def _convert_block_row(row) -> list[scalar.Slot]:

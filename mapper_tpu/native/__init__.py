@@ -152,6 +152,10 @@ def get_candidates_library():
                 p_u8, i64, i32, i32, i32,
                 p_i32, p_i32, p_i32, p_u8, p_u8, p_i64, p_i32, i64,
             ]
+            lib.mapper_query_rows.restype = i32
+            lib.mapper_query_rows.argtypes = [
+                ctypes.c_void_p, i64, i32, p_i32, p_i32, i64,
+            ]
             lib.mapper_collect_emit.restype = i64
             lib.mapper_collect_emit.argtypes = [
                 p_u8, i64, i32, i32, i32,  # codes, n, min_interesting, lo, hi
@@ -696,6 +700,45 @@ def native_dp_align(
     if count < 0:
         return np.zeros((0, 4), dtype=np.int32), goal_penalty.value
     return buf[:count], goal_penalty.value
+
+
+def native_query_rows(codes: np.ndarray):
+    """All pyramid row levels of one clean query as flat int32 arrays.
+    Returns (counts int32[levels], fields int32[total, 10]) — fields are the
+    ScalarHashBlock field set (start, length, fwd, rev, extra, gap_dir,
+    req_l, req_r, next_l, next_r) — or None (ambiguous query or library
+    unavailable; caller uses the Python row kernels)."""
+    lib = get_candidates_library()
+    if lib is None or not hasattr(lib, "mapper_query_rows"):
+        return None
+    n = int(codes.shape[0])
+    if n == 0:
+        return None
+    if not codes.flags.c_contiguous:
+        codes = np.ascontiguousarray(codes)
+    max_levels = n + 2
+    counts = np.zeros(max_levels, dtype=np.int32)
+    cap = 6 * n + 64
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    while True:
+        fields = np.empty((cap, 10), dtype=np.int32)
+        r = lib.mapper_query_rows(
+            codes.ctypes.data,
+            n,
+            max_levels,
+            counts.ctypes.data_as(p_i32),
+            fields.ctypes.data_as(p_i32),
+            cap,
+        )
+        if r == -1:
+            return None
+        if r == -2:
+            worst = n * (n + 1) // 2 + 8
+            if cap >= worst:
+                return None
+            cap = worst
+            continue
+        return counts[:r], fields
 
 
 def native_local_align_one(

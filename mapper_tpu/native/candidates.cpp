@@ -98,6 +98,95 @@ struct Out {
   std::vector<int32_t> votes;
 };
 
+// Base row of the pyramid (HashBlock_BaseRow.java non-ambiguous branch);
+// returns false on ambiguity (caller falls back to numpy/scalar).
+bool init_base_row(const uint8_t* codes, int64_t len, std::vector<Block>& row) {
+  row.resize(len);
+  for (int64_t i = 0; i < len; i++) {
+    int8_t v = TWO_BIT[codes[i]];
+    if (v < 0) return false;
+    Block& b = row[i];
+    b.start = (int32_t)i;
+    b.length = 1;
+    b.fwd = v;
+    b.rev = 3 - v;
+    b.extra = 0;
+    b.gap_dir = 0;
+    b.req_l = v < 2;
+    b.req_r = v >= 2;
+    b.next_l = (v & 1) == 0;
+    b.next_r = (v & 1) == 1;
+  }
+  return true;
+}
+
+// One pyramid merge step (HashBlock_ParentRow semantics; field-for-field the
+// vectorized index/hashblock.py::merge_row).  Appends to next (cleared) and
+// reports the min/max merged block length.
+void merge_row_once(const std::vector<Block>& row, std::vector<Block>& next,
+                    int32_t* row_max_len_out, int32_t* row_min_len_out) {
+  next.clear();
+  int32_t row_max_len = 0;
+  int32_t row_min_len = INT32_MAX;
+  for (size_t i = 0; i + 1 < row.size(); i++) {
+    const Block& L = row[i];
+    const Block& R = row[i + 1];
+    if (!(L.start + L.length >= R.start && (L.req_r || R.req_l))) continue;
+    Block b;
+    b.start = L.start;
+    b.length = R.start + R.length - L.start;
+    b.fwd = merge_hashes(L.length, L.fwd, R.length, R.fwd);
+    b.rev = merge_hashes(R.length, R.rev, L.length, L.rev);
+
+    bool anchor_exists = L.fwd != R.rev;
+    bool anchor_is_right = L.fwd > R.rev;
+    bool asym = anchor_exists && (b.fwd != b.rev);
+    bool is_reverse = b.fwd < b.rev;
+    bool invert = (is_reverse == anchor_is_right);
+
+    bool a_nl = anchor_is_right ? R.next_l : L.next_l;
+    bool a_nr = anchor_is_right ? R.next_r : L.next_r;
+    if (a_nl && a_nr) {
+      if (anchor_is_right) a_nr = false; else a_nl = false;
+    }
+    bool o_nl = anchor_is_right ? L.next_l : R.next_l;
+    bool o_nr = anchor_is_right ? L.next_r : R.next_r;
+    if (o_nl && o_nr) {
+      if (!anchor_is_right) o_nl = false; else o_nr = false;
+    }
+
+    bool req_l = true, req_r = true, next_l = true, next_r = true;
+    if (asym) {
+      req_l = a_nl != invert;
+      req_r = a_nr != invert;
+      next_l = o_nl != invert;
+      next_r = o_nr != invert;
+    }
+    if (L.length != R.length) {
+      bool lg = L.length > R.length;
+      req_l = lg; req_r = !lg; next_l = !lg; next_r = lg;
+    }
+    if (b.fwd != b.rev) {
+      if (req_l && req_r) { req_l = b.fwd > b.rev; req_r = !req_l; }
+      if (next_l && next_r) { next_l = req_l; next_r = !req_l; }
+    }
+    b.req_l = req_l; b.req_r = req_r; b.next_l = next_l; b.next_r = next_r;
+
+    if (req_l != req_r) b.gap_dir = req_l ? 1 : -1;
+    else if (anchor_exists) b.gap_dir = anchor_is_right ? 1 : -1;
+    else b.gap_dir = 0;
+
+    int64_t extra_raw = (int64_t)L.length + R.length - b.length;
+    b.extra = (int32_t)(extra_raw / 4);  // trunc toward zero, as in Java
+
+    next.push_back(b);
+    row_max_len = std::max(row_max_len, b.length);
+    row_min_len = std::min(row_min_len, b.length);
+  }
+  *row_max_len_out = row_max_len;
+  *row_min_len_out = row_min_len;
+}
+
 // Collect all interesting gapmer seeds of one read (exact port of
 // batch/candidates.py::collect_batch_seeds restricted to a single read).
 bool collect_seeds_one_read(const uint8_t* codes, int64_t len,
@@ -119,83 +208,13 @@ bool collect_seeds_one_read(const uint8_t* codes, int64_t len,
   }
 
   // base row (HashBlock_BaseRow.java non-ambiguous branch)
-  s.row.resize(len);
-  for (int64_t i = 0; i < len; i++) {
-    int8_t v = TWO_BIT[codes[i]];
-    if (v < 0) return false;  // ambiguity: caller falls back to numpy/scalar
-    Block& b = s.row[i];
-    b.start = (int32_t)i;
-    b.length = 1;
-    b.fwd = v;
-    b.rev = 3 - v;
-    b.extra = 0;
-    b.gap_dir = 0;
-    b.req_l = v < 2;
-    b.req_r = v >= 2;
-    b.next_l = (v & 1) == 0;
-    b.next_r = (v & 1) == 1;
-  }
+  if (!init_base_row(codes, len, s.row)) return false;
 
   while (s.row.size() >= 2) {
     // ---- merge_row ----
-    s.next.clear();
     int32_t row_max_len = 0;
     int32_t row_min_len = INT32_MAX;
-    for (size_t i = 0; i + 1 < s.row.size(); i++) {
-      const Block& L = s.row[i];
-      const Block& R = s.row[i + 1];
-      if (!(L.start + L.length >= R.start && (L.req_r || R.req_l))) continue;
-      Block b;
-      b.start = L.start;
-      b.length = R.start + R.length - L.start;
-      b.fwd = merge_hashes(L.length, L.fwd, R.length, R.fwd);
-      b.rev = merge_hashes(R.length, R.rev, L.length, L.rev);
-
-      bool anchor_exists = L.fwd != R.rev;
-      bool anchor_is_right = L.fwd > R.rev;
-      bool asym = anchor_exists && (b.fwd != b.rev);
-      bool is_reverse = b.fwd < b.rev;
-      bool invert = (is_reverse == anchor_is_right);
-
-      bool a_nl = anchor_is_right ? R.next_l : L.next_l;
-      bool a_nr = anchor_is_right ? R.next_r : L.next_r;
-      if (a_nl && a_nr) {
-        if (anchor_is_right) a_nr = false; else a_nl = false;
-      }
-      bool o_nl = anchor_is_right ? L.next_l : R.next_l;
-      bool o_nr = anchor_is_right ? L.next_r : R.next_r;
-      if (o_nl && o_nr) {
-        if (!anchor_is_right) o_nl = false; else o_nr = false;
-      }
-
-      bool req_l = true, req_r = true, next_l = true, next_r = true;
-      if (asym) {
-        req_l = a_nl != invert;
-        req_r = a_nr != invert;
-        next_l = o_nl != invert;
-        next_r = o_nr != invert;
-      }
-      if (L.length != R.length) {
-        bool lg = L.length > R.length;
-        req_l = lg; req_r = !lg; next_l = !lg; next_r = lg;
-      }
-      if (b.fwd != b.rev) {
-        if (req_l && req_r) { req_l = b.fwd > b.rev; req_r = !req_l; }
-        if (next_l && next_r) { next_l = req_l; next_r = !req_l; }
-      }
-      b.req_l = req_l; b.req_r = req_r; b.next_l = next_l; b.next_r = next_r;
-
-      if (req_l != req_r) b.gap_dir = req_l ? 1 : -1;
-      else if (anchor_exists) b.gap_dir = anchor_is_right ? 1 : -1;
-      else b.gap_dir = 0;
-
-      int64_t extra_raw = (int64_t)L.length + R.length - b.length;
-      b.extra = (int32_t)(extra_raw / 4);  // trunc toward zero, as in Java
-
-      s.next.push_back(b);
-      row_max_len = std::max(row_max_len, b.length);
-      row_min_len = std::min(row_min_len, b.length);
-    }
+    merge_row_once(s.row, s.next, &row_max_len, &row_min_len);
     s.row.swap(s.next);
     if (s.row.empty()) break;
 
@@ -272,6 +291,53 @@ bool collect_seeds_one_read(const uint8_t* codes, int64_t len,
 }
 
 }  // namespace
+
+// All pyramid row levels of one clean (unambiguous) query, flattened.
+// Fields per block (int32): start, length, fwd, rev, extra, gap_dir, req_l,
+// req_r, next_l, next_r — the exact ScalarHashBlock field set, produced by
+// the same base-row/merge kernels the seed collector uses.  Levels stop when
+// a row has < 2 blocks (that last short row IS written) or max_levels is
+// reached.  out_counts[level] receives each level's block count; blocks of
+// all levels are written consecutively to out_fields ([cap][10]).  Returns
+// the number of levels written, -1 on ambiguity (caller falls back to the
+// scalar model), -2 when cap is insufficient.
+extern "C" int32_t mapper_query_rows(const uint8_t* codes, int64_t len,
+                                     int32_t max_levels, int32_t* out_counts,
+                                     int32_t* out_fields, int64_t cap) {
+  std::vector<Block> row, next;
+  if (!init_base_row(codes, len, row)) return -1;
+  int64_t written = 0;
+  int32_t level = 0;
+  auto emit_row = [&](const std::vector<Block>& r) -> bool {
+    if (written + (int64_t)r.size() > cap) return false;
+    for (const Block& b : r) {
+      int32_t* f = out_fields + written * 10;
+      f[0] = b.start;
+      f[1] = b.length;
+      f[2] = b.fwd;
+      f[3] = b.rev;
+      f[4] = b.extra;
+      f[5] = b.gap_dir;
+      f[6] = b.req_l;
+      f[7] = b.req_r;
+      f[8] = b.next_l;
+      f[9] = b.next_r;
+      written++;
+    }
+    out_counts[level] = (int32_t)r.size();
+    level++;
+    return true;
+  };
+  if (level < max_levels && !emit_row(row)) return -2;
+  while (level < max_levels && row.size() >= 2) {
+    int32_t mx = 0, mn = INT32_MAX;
+    merge_row_once(row, next, &mx, &mn);
+    row.swap(next);
+    if (!emit_row(row)) return -2;
+    if (row.empty()) break;
+  }
+  return level;
+}
 
 // Index-build block collection for one (non-ambiguous) reference sequence:
 // every gapmer of every pyramid row with num_bp in [min_interesting, hi] and
