@@ -102,9 +102,18 @@ class AlignerWorker:
         self, queries: list[Query], notify: bool = True
     ) -> list[QueryAlignments]:
         self.before_batch(len(queries))
+        hits0 = self.stats.num_cache_hits
+        skips0 = self.stats.num_cache_skips
         results = []
         for query in queries:
             results.append(self.align(query))
+        if self.cache is not None:
+            # feed the adaptive formula (AlignerWorker.afterBatch semantics:
+            # the cache's own hit/skip counters drive chooseEnableFraction)
+            self.cache.add_hits_and_skips(
+                self.stats.num_cache_hits - hits0,
+                self.stats.num_cache_skips - skips0,
+            )
         if notify:
             self.send_results(results)
         return results

@@ -103,10 +103,64 @@ class BatchAligner:
         # optional collections.Counter: the gapped-finalization gates count
         # their reject reasons here when set (perf debugging)
         self._gap_debug = None
+        # optional AlignmentCache probed/stored at process_batch intake (the
+        # reference's per-worker cache, AlignerWorker.java:264-291); hit and
+        # skip counts land on fallback_worker.stats for the CLI report
+        self.cache = None
 
     # ------------------------------------------------------------------
 
     def process_batch(
+        self, queries: list[Query], notify: bool = True
+    ) -> list[QueryAlignments]:
+        if self.cache is None or not queries:
+            return self._process_batch_uncached(queries, notify)
+        # alignment result cache at chunk intake (AlignerWorker.java:264-291
+        # semantics, adaptive store fraction of AlignerWorker.java:129-155):
+        # content-hash hits skip candidate generation + scoring entirely and
+        # replay the stored alignment onto the new Query
+        stats = self.fallback_worker.stats
+        enable_fraction = self.cache.choose_enable_fraction(len(queries))
+        keys = [q.content_hash() for q in queries]
+        results: list[QueryAlignments | None] = [None] * len(queries)
+        remaining = []
+        for i, q in enumerate(queries):
+            cached = self.cache.get(keys[i])
+            if cached is not None and cached.get_num_components() == 1:
+                stats.num_cache_hits += 1
+                new_component = [
+                    option.with_query(q.get_sequences())
+                    for option in cached.get_first_alignments()
+                ]
+                results[i] = QueryAlignments.single_component(
+                    q.get_sequences(), new_component
+                )
+                self.stats_batch_resolved += 1
+            else:
+                remaining.append(i)
+        batch_hits = len(queries) - len(remaining)
+        batch_skips = 0
+        if remaining:
+            sub_results = self._process_batch_uncached(
+                [queries[i] for i in remaining], notify=False
+            )
+            for local, i in enumerate(remaining):
+                results[i] = sub_results[local]
+                normalized = (keys[i] % (1 << 32)) / float(1 << 32)
+                if normalized <= enable_fraction:
+                    self.cache.add(keys[i], results[i])
+                else:
+                    stats.num_cache_skips += 1
+                    batch_skips += 1
+        # feed the adaptive formula (the cache's own counters drive
+        # chooseEnableFraction, AlignerWorker.java:129-155)
+        self.cache.add_hits_and_skips(batch_hits, batch_skips)
+        if notify:
+            for listener in self.listeners:
+                listener.add_alignments(results)
+        return results
+
+    def _process_batch_uncached(
         self, queries: list[Query], notify: bool = True
     ) -> list[QueryAlignments]:
         results: list[QueryAlignments | None] = [None] * len(queries)
@@ -1027,30 +1081,15 @@ class BatchAligner:
                     "mark": mark,
                 }
 
-        # Device-side voting is opt-in: the multi-million-element sort/scatter
-        # vote program compiles pathologically slowly on remote TPU backends
-        # (observed >10min for both int64 and int32-pair keys), so the numpy
-        # voting path stays the default.
-        if os.environ.get("MAPPER_TPU_DEVICE_VOTE") == "1" and _jax.default_backend() == "tpu":
-            from mapper_tpu.batch.candidates import collect_batch_seeds
-            from mapper_tpu.batch.device_vote import generate_candidates_device
-
-            seeds = collect_batch_seeds(batch, self.database)
-            mark("seeds")
-            table = generate_candidates_device(
-                batch,
-                self.database,
-                seeds,
-                max_candidates_per_read=self.max_candidates_per_read,
-            )
-            if table is None:  # int32 key-space overflow: use the numpy path
-                table = generate_candidates(
-                    batch, self.database, max_candidates_per_read=self.max_candidates_per_read
-                )
-        else:
-            table = generate_candidates(
-                batch, self.database, max_candidates_per_read=self.max_candidates_per_read
-            )
+        # Candidate voting runs on the host (native C++/numpy): a standalone
+        # device voting stage (host seeds -> device sort/vote) was measured to
+        # compile pathologically slowly on remote TPU backends for two rounds
+        # (int64 and int32-pair keys alike) and was removed — on-device voting
+        # lives only inside the fully-fused candidates path above
+        # (batch/device_candidates.py), which subsumes it for mesh scaling.
+        table = generate_candidates(
+            batch, self.database, max_candidates_per_read=self.max_candidates_per_read
+        )
         mark(f"candidates ({len(table)})")
         if len(table) == 0:
             return [None] * num_reads

@@ -638,7 +638,11 @@ def run(
             # adopt the warmup's uploaded reference buffer (same seq_db, same
             # bytes) instead of paying a second multi-MB H2D transfer
             engine_obj._concat_dev = scoring_warmup.concat_dev
-        engine_obj.fallback_worker = AlignerWorker(reference_index, parameters, cache=cache)
+        engine_obj.fallback_worker = AlignerWorker(reference_index, parameters)
+        # the engine probes/stores the cache at chunk intake (covering the
+        # batch fast path, not just worker fallbacks); the inner worker runs
+        # cache-less so hits/stores are not double-counted
+        engine_obj.cache = cache
         worker_stats = engine_obj.fallback_worker.stats
         # device-side pileup (opt-in): clean emissions scatter-add on the
         # device per chunk (SURVEY §2.2; Mapper.java:760-784).  Measured on
