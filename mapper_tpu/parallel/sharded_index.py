@@ -49,14 +49,27 @@ class ShardedIndex:
 
         n_dev = mesh.devices.size
         num_bins = counts.shape[0]
-        self.bins_per_shard = max(1, math.ceil(num_bins / n_dev))
+        n_values = values.shape[0]
+        # Value-balanced contiguous bin ranges: shard boundaries sit where the
+        # cumulative value count crosses d/n_dev of the total, so every
+        # shard's values slice is ~n_values/n_dev and the pad-to-max below
+        # costs only the boundary imbalance (the previous equal-bin split
+        # could give one shard most of the values and replicate that memory
+        # to every device through the padding).
+        targets = (np.arange(1, n_dev, dtype=np.int64) * n_values) // n_dev
+        bounds = np.searchsorted(offsets[:num_bins], targets, side="left")
+        bounds = np.concatenate(([0], bounds, [num_bins]))
+        bounds = np.maximum.accumulate(bounds)
+        self.bins_per_shard = max(
+            1, int(np.max(bounds[1:] - bounds[:-1], initial=1))
+        )
 
         shard_counts, shard_offsets, shard_values, base_bins = [], [], [], []
         for d in range(n_dev):
-            lo = min(num_bins, d * self.bins_per_shard)
-            hi = min(num_bins, lo + self.bins_per_shard)
-            v_lo = int(offsets[lo]) if lo < num_bins else values.shape[0]
-            v_hi = int(offsets[hi]) if hi < num_bins else values.shape[0]
+            lo = int(bounds[d])
+            hi = int(bounds[d + 1])
+            v_lo = int(offsets[lo]) if lo < num_bins else n_values
+            v_hi = int(offsets[hi]) if hi < num_bins else n_values
             c = np.zeros(self.bins_per_shard, dtype=np.int32)
             o = np.zeros(self.bins_per_shard, dtype=np.int64)
             c[: hi - lo] = counts[lo:hi]
@@ -66,6 +79,8 @@ class ShardedIndex:
             shard_values.append(values[v_lo:v_hi])
             base_bins.append(lo)
         vmax = max((v.shape[0] for v in shard_values), default=0) or 1
+        # total device memory for values = n_dev * vmax ~= n_values + slack
+        self.values_memory_ratio = (n_dev * vmax) / max(1, n_values)
         shard_values = [
             np.pad(v, (0, vmax - v.shape[0]), constant_values=0) for v in shard_values
         ]
