@@ -171,6 +171,8 @@ class HashBlockPath:
     """HashBlockPath.java: adaptive walk emitting interesting gapmers."""
 
     def __init__(self, pyramid: QueryPyramid, database: HashBlockDatabase, query: Sequence):
+        import os as _os
+
         self.pyramid = pyramid
         self.database = database
         self.query = query
@@ -180,6 +182,21 @@ class HashBlockPath:
         self.current_gapmer_computed = False
         self.prev_interesting: scalar.ScalarHashBlock | None = None
         self.prev_prev_interesting: scalar.ScalarHashBlock | None = None
+        # precomputed native walk: the interesting-block sequence is a pure
+        # function of (query, index counts) — no feedback from match results —
+        # so one C call replaces the per-block Python navigation; blocks are
+        # materialized lazily as they are consumed.  The Python walk below is
+        # the oracle (MAPPER_TPU_NATIVE=0) and the fallback.
+        self._native_seq = None
+        self._native_pos = 0
+        if (
+            pyramid._native_levels is not None
+            and _os.environ.get("MAPPER_TPU_NATIVE", "1") != "0"
+            and _os.environ.get("MAPPER_TPU_NATIVE_WALK", "1") != "0"
+        ):
+            from mapper_tpu.native import native_query_walk
+
+            self._native_seq = native_query_walk(query.codes, database)
 
     # --- navigation (java:99-140) ----------------------------------------
 
@@ -310,6 +327,23 @@ class HashBlockPath:
         return result
 
     def get_next_interesting_block(self) -> scalar.ScalarHashBlock | None:
+        seq = self._native_seq
+        if seq is not None:
+            if self._native_pos >= seq.shape[0]:
+                return None
+            start, total_len, num_bp, fwd, rev, req_l, req_r, b1, gap = seq[
+                self._native_pos
+            ].tolist()
+            self._native_pos += 1
+            b = scalar.ScalarHashBlock(start, total_len)
+            b.num_basepairs_used = num_bp
+            b.fwd = fwd
+            b.rev = rev
+            b.req_l = bool(req_l)
+            b.req_r = bool(req_r)
+            b.gapped_block1_length = b1
+            b.gapped_gap_length = gap
+            return b
         if self.current is None:
             return None
         while True:

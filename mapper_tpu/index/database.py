@@ -716,11 +716,19 @@ class HashBlockDatabase:
             values_parts.append(m.values)
             bin_cursor += m.capacity
             value_cursor += m.values.shape[0]
+        exists = np.zeros(max_size + 2, dtype=np.uint8)
+        for size in range(0, max_size + 1):
+            if self.maps.get(size) is not None:
+                exists[size] = 1
         cached = {
             "through": max_size,
             "capacities": capacities,
             "caps": caps,
             "bases": bases,
+            # which sizes have a real map: lookups of a mapless size must
+            # report INT_MAX (Readable_HashBlock_Database.java:72-80), which
+            # the zero-filled empty-map bins cannot express
+            "exists": exists,
             "counts": np.concatenate(counts_parts),
             "offsets": np.concatenate(offsets_parts),
             "values": np.concatenate(values_parts),

@@ -156,6 +156,16 @@ def get_candidates_library():
             lib.mapper_query_rows.argtypes = [
                 ctypes.c_void_p, i64, i32, p_i32, p_i32, i64,
             ]
+            lib.mapper_query_walk.restype = i64
+            lib.mapper_query_walk.argtypes = [
+                ctypes.c_void_p, i64,      # codes, len
+                i32, i32, i32,             # min_interesting, enable_gapmers, max_set_up
+                ctypes.c_void_p,           # size_exists (uint8)
+                p_i64, p_i64, p_i64,       # size_capacity, size_base, size_cap
+                p_i64,                     # bin_counts (int64)
+                p_i32, i64,                # out, max_out
+                p_i64,                     # need_size
+            ]
             lib.mapper_collect_emit.restype = i64
             lib.mapper_collect_emit.argtypes = [
                 p_u8, i64, i32, i32, i32,  # codes, n, min_interesting, lo, hi
@@ -739,6 +749,63 @@ def native_query_rows(codes: np.ndarray):
             cap = worst
             continue
         return counts[:r], fields
+
+
+def native_query_walk(codes: np.ndarray, database):
+    """The interesting-gapmer walk of one clean query
+    (HashBlockPath.get_next_interesting_block precomputed; see
+    candidates.cpp::mapper_query_walk).  Returns a [n, 9] int32 array
+    (start, total_len, num_bp, fwd, rev, req_l, req_r, gapped_b1, gap_len)
+    or None (ambiguity / library unavailable; caller walks in Python).
+    Triggers the database's lazy growth exactly where the Python walk
+    would (a probe of a size beyond max_fully_set_up_size) and re-runs."""
+    lib = get_candidates_library()
+    if lib is None or not hasattr(lib, "mapper_query_walk"):
+        return None
+    n = int(codes.shape[0])
+    if n == 0:
+        return None
+    if not codes.flags.c_contiguous:
+        codes = np.ascontiguousarray(codes)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    max_out = 4 * n + 64
+    while True:
+        merged = database.merged_index()
+        exists = merged.get("exists")
+        if exists is None:
+            return None
+        counts = merged["counts"]
+        if counts.dtype != np.int64:
+            counts = counts.astype(np.int64)
+        out = np.empty((max_out, 9), dtype=np.int32)
+        need = ctypes.c_int64(0)
+        r = lib.mapper_query_walk(
+            codes.ctypes.data,
+            n,
+            int(database.get_min_interesting_size()),
+            1 if database.get_enable_gapmers() else 0,
+            int(database.max_fully_set_up_size),
+            exists.ctypes.data,
+            merged["capacities"].ctypes.data_as(p_i64),
+            merged["bases"].ctypes.data_as(p_i64),
+            merged["caps"].ctypes.data_as(p_i64),
+            counts.ctypes.data_as(p_i64),
+            out.ctypes.data_as(p_i32),
+            max_out,
+            ctypes.byref(need),
+        )
+        if r == -1:
+            return None
+        if r == -2:
+            max_out *= 4
+            if max_out > 64 * n + 4096:
+                return None
+            continue
+        if r == -3:
+            database.require_set_up_through_size(int(need.value))
+            continue
+        return out[:r]
 
 
 def native_local_align_one(

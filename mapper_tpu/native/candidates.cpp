@@ -339,6 +339,274 @@ extern "C" int32_t mapper_query_rows(const uint8_t* codes, int64_t len,
   return level;
 }
 
+// The full interesting-gapmer walk of one clean query
+// (align/candidates.py::HashBlockPath.get_next_interesting_block): pyramid
+// navigation thresholds (HashBlockPath.java:143-195), gapmer expansion, the
+// match-count probes against the merged index, and the recently-seen filter.
+// The emitted sequence is a pure function of (query, index counts) — the
+// walk takes no feedback from match results — so it is precomputed here in
+// one call and consumed lazily by the Python CountingHashBlockPath.
+//
+// Per-size arrays cover sizes 0..max_set_up; a probe of a larger size is the
+// reference's lazy-growth trigger: the walk aborts with -3 and *need_size so
+// the caller can grow the database and re-run.
+// Output rows ([max_out][9] int32): start, total_len, num_bp, fwd, rev,
+// req_l, req_r, gapped_block1_length, gapped_gap_length.
+// Returns blocks emitted, -1 ambiguity, -2 output overflow, -3 grow.
+extern "C" int64_t mapper_query_walk(
+    const uint8_t* codes, int64_t len, int32_t min_interesting,
+    int32_t enable_gapmers, int32_t max_set_up, const uint8_t* size_exists,
+    const int64_t* size_capacity, const int64_t* size_base,
+    const int64_t* size_cap, const int64_t* bin_counts, int32_t* out,
+    int64_t max_out, int64_t* need_size) {
+  constexpr int64_t I32_MAX = 2147483647;
+  // pyramid rows
+  std::vector<std::vector<Block>> rows(1);
+  if (!init_base_row(codes, len, rows[0])) return -1;
+  while (rows.back().size() >= 2) {
+    rows.emplace_back();
+    int32_t mx = 0, mn = INT32_MAX;
+    merge_row_once(rows[rows.size() - 2], rows.back(), &mx, &mn);
+  }
+  // gapmer prefix tables
+  std::vector<uint32_t> pow_b(len + 2), inv_pow_b(len + 2);
+  pow_b[0] = 1;
+  inv_pow_b[0] = 1;
+  for (int64_t i = 1; i <= len + 1; i++) {
+    pow_b[i] = pow_b[i - 1] * GAPMER_MULTIPLIER;
+    inv_pow_b[i] = inv_pow_b[i - 1] * GAPMER_MULTIPLIER_INV;
+  }
+  std::vector<uint32_t> pref_fwd(len + 1), pref_comp(len + 1);
+  pref_fwd[0] = 0;
+  pref_comp[0] = 0;
+  for (int64_t i = 0; i < len; i++) {
+    uint8_t c = codes[i];
+    pref_fwd[i + 1] = pref_fwd[i] + (uint32_t)GAP_VAL[c] * pow_b[i];
+    pref_comp[i + 1] = pref_comp[i] + (uint32_t)GAP_VAL_COMP[c] * inv_pow_b[i];
+  }
+
+  struct Ext {  // the gapmer ("extended") view of the current block
+    bool ok;
+    bool is_self;
+    int64_t start, total_len, num_bp;
+    int32_t fwd, rev;
+    bool req_l, req_r;  // the extended OBJECT's flags (defaults for gapmers)
+    int64_t b1_len, gap_len;
+  };
+  auto expand = [&](const Block& b) -> Ext {
+    Ext e{};
+    if (!enable_gapmers || b.gap_dir == 0) {
+      e.ok = true;
+      e.is_self = true;
+      e.start = b.start;
+      e.total_len = b.length;
+      e.num_bp = b.length;
+      e.fwd = b.fwd;
+      e.rev = b.rev;
+      e.req_l = b.req_l;
+      e.req_r = b.req_r;
+      e.b1_len = -1;
+      e.gap_len = 0;
+      return e;
+    }
+    int32_t m = std::max(b.fwd, b.rev);
+    int32_t abs_m = wrap32((uint64_t)(m < 0 ? -(int64_t)m : (int64_t)m));
+    int32_t rem = abs_m % 3;
+    int64_t target_extra = (int64_t)b.length + rem + b.extra;
+    int64_t gap = b.length / 2;
+    int64_t ext_len = target_extra - gap;
+    int64_t ext_start, ext_end;
+    if (b.gap_dir < 0) {
+      ext_end = (int64_t)b.start - gap;
+      ext_start = ext_end - ext_len;
+      if (ext_start < 0) return e;  // ok=false -> Python returns None
+      e.start = ext_start;
+      e.b1_len = ext_len;
+    } else {
+      ext_start = (int64_t)b.start + b.length + gap;
+      ext_end = ext_start + ext_len;
+      if (ext_end > len) return e;
+      e.start = b.start;
+      e.b1_len = b.length;
+    }
+    int64_t cs = std::min(std::max(ext_start, (int64_t)0), len);
+    int64_t ce = std::min(std::max(ext_end, (int64_t)0), len);
+    uint32_t ext_hash;
+    if (b.gap_dir < 0) {
+      ext_hash = (pref_fwd[ce] - pref_fwd[cs]) * inv_pow_b[cs];
+    } else {
+      int64_t e1 = std::max(ce, (int64_t)1) - 1;
+      ext_hash = (pref_comp[ce] - pref_comp[cs]) * pow_b[e1];
+    }
+    e.ok = true;
+    e.is_self = false;
+    e.fwd = wrap32((uint64_t)((int64_t)b.fwd + (int32_t)ext_hash));
+    e.rev = wrap32((uint64_t)((int64_t)b.rev + (int32_t)ext_hash));
+    e.total_len = b.length + gap + ext_len;
+    e.num_bp = b.length + ext_len;
+    e.req_l = false;  // ScalarHashBlock defaults on a fresh gapmer object
+    e.req_r = false;
+    e.gap_len = gap;
+    return e;
+  };
+  auto ext_primary = [&](const Ext& e) -> bool {
+    // is_primary_polarity: req_l != req_r ? req_l : fwd >= rev
+    if (e.req_l != e.req_r) return e.req_l;
+    return e.fwd >= e.rev;
+  };
+  auto ext_key = [&](const Ext& e) -> int64_t {
+    return ext_primary(e) ? (int64_t)e.fwd : (int64_t)e.rev;
+  };
+  bool grow = false;
+  auto lower_bound = [&](const Ext& e) -> int64_t {
+    if (e.num_bp < min_interesting) return I32_MAX;
+    if (e.num_bp > max_set_up) {
+      grow = true;
+      *need_size = e.num_bp;
+      return I32_MAX;
+    }
+    if (!size_exists[e.num_bp]) return I32_MAX;
+    int64_t cap = size_capacity[e.num_bp];
+    int64_t k = ext_key(e) % cap;
+    if (k < 0) k += cap;  // Python % semantics for negative keys
+    int64_t c = bin_counts[size_base[e.num_bp] + k];
+    return c > size_cap[e.num_bp] ? I32_MAX : c;
+  };
+  auto allowed_of = [&](const Ext& e) -> int64_t {
+    if (e.total_len >= len / 6) {
+      // get_max_num_matches_allowed (lazy-growth trigger included)
+      if (e.num_bp < min_interesting) return -1;
+      if (e.num_bp > max_set_up) {
+        grow = true;
+        *need_size = e.num_bp;
+        return 0;
+      }
+      if (!size_exists[e.num_bp]) return 0;
+      return size_cap[e.num_bp];
+    }
+    if (e.req_r) return 5;
+    return e.num_bp + 1;
+  };
+
+  // navigation state (HashBlockPath.java:99-140)
+  int level = -1;  // batch_index
+  bool have = true;
+  Block current{};  // the initial dummy ScalarHashBlock(0, 0)
+  current.start = 0;
+  current.length = 0;
+  bool ext_cached = false;
+  Ext ext{};
+  auto row_at = [&](int lv) -> const std::vector<Block>* {
+    static const std::vector<Block> kEmpty;
+    if (lv < 0 || lv >= (int)rows.size()) return &kEmpty;
+    return &rows[lv];
+  };
+  auto get_after = [&](int lv, int64_t pos) -> const Block* {
+    const std::vector<Block>& r = *row_at(lv);
+    size_t lo = 0, hi = r.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (r[mid].start > pos) hi = mid; else lo = mid + 1;
+    }
+    return lo < r.size() ? &r[lo] : nullptr;
+  };
+  auto get_exact = [&](int lv, int64_t pos) -> const Block* {
+    const Block* b = get_after(lv, pos - 1);
+    if (b != nullptr && b->start == pos) return b;
+    return nullptr;
+  };
+  auto move_right = [&]() {
+    const Block* b = get_after(level, current.start);
+    if (b == nullptr) have = false; else current = *b;
+    ext_cached = false;
+  };
+  auto move_down = [&]() {
+    level -= 1;
+    const Block* b = get_after(level, current.start);
+    if (b == nullptr) have = false; else current = *b;
+    ext_cached = false;
+  };
+  auto move_up_or_right = [&]() {
+    const Block* up = get_exact(level + 1, current.start);
+    if (up != nullptr) {
+      level += 1;
+      current = *up;
+      ext_cached = false;
+    } else {
+      move_right();
+    }
+  };
+  auto with_gap = [&]() -> const Ext& {
+    if (!ext_cached) {
+      ext = expand(current);
+      ext_cached = true;
+    }
+    return ext;
+  };
+
+  int32_t prev_fwd = 0, prev_prev_fwd = 0;
+  bool has_prev = false, has_prev_prev = false;
+  int64_t n_out = 0;
+  while (have) {
+    // _advance_to_next_position (java:143-195)
+    if (enable_gapmers &&
+        max_gapmer_num_bp(current.length) < (int64_t)min_interesting) {
+      move_up_or_right();
+    } else {
+      const Ext& e = with_gap();
+      if (e.ok) {
+        int64_t nm = lower_bound(e);
+        if (grow) return -3;
+        if (nm < 6) {
+          if (level > 0) move_down(); else move_right();
+        } else {
+          int64_t al = allowed_of(e);
+          if (grow) return -3;
+          if (nm > al) move_up_or_right(); else move_right();
+        }
+      } else {
+        int64_t typical = (int64_t)current.length * 3 / 2;
+        if (typical <= min_interesting && enable_gapmers) {
+          move_up_or_right();
+        } else {
+          if (level > 0) move_down(); else move_right();
+        }
+      }
+    }
+    if (!have) break;
+    // _get_next_block_with_good_number_of_matches emit check
+    const Ext& e = with_gap();
+    if (!e.ok) continue;
+    int64_t nm = lower_bound(e);
+    if (grow) return -3;
+    int64_t al = allowed_of(e);
+    if (grow) return -3;
+    if (nm > al) continue;
+    // _recently_seen (updates state even when filtered)
+    bool seen = (has_prev && e.fwd == prev_fwd) ||
+                (!(has_prev && e.fwd == prev_fwd) && has_prev_prev &&
+                 e.fwd == prev_prev_fwd);
+    prev_prev_fwd = prev_fwd;
+    has_prev_prev = has_prev;
+    prev_fwd = e.fwd;
+    has_prev = true;
+    if (seen) continue;
+    if (n_out >= max_out) return -2;
+    int32_t* o = out + n_out * 9;
+    o[0] = (int32_t)e.start;
+    o[1] = (int32_t)e.total_len;
+    o[2] = (int32_t)e.num_bp;
+    o[3] = e.fwd;
+    o[4] = e.rev;
+    o[5] = e.req_l;
+    o[6] = e.req_r;
+    o[7] = (int32_t)e.b1_len;
+    o[8] = (int32_t)e.gap_len;
+    n_out++;
+  }
+  return n_out;
+}
+
 // Index-build block collection for one (non-ambiguous) reference sequence:
 // every gapmer of every pyramid row with num_bp in [min_interesting, hi] and
 // num_bp > lo, with both polarity flags (exact port of the row loop in

