@@ -44,18 +44,20 @@ _INT16_BROKEN = False  # set when the backend's Mosaic build rejects int16
 
 
 def _int16_disabled(interpret: bool = False) -> bool:
-    """The int16 kernel is exercised in interpret mode (tests) and available
-    by opt-in (MAPPER_TPU_INT16=1) on real hardware.  It is NOT default-on
-    for real TPU compiles: the current axon service's Mosaic build HANGS
-    (not merely errors) on int16 compare/min/sub vector ops, so a runtime
-    try/except cannot protect the production path (BENCH.md, int16 section)."""
+    """The int16 kernel is DEFAULT-ON since round 4: the service Mosaic
+    build's int16 gaps (vector minimum, int16 compares, scalar-scalar
+    selects — bisected in benchmarks/_probe_i16*.py) are all avoided by
+    construction (int32-widened minimum, int32 compares, int32 scalar
+    selects narrowed after), verified bit-exact on the real chip
+    (TPU_PARITY.json) and ~1.2-1.3x faster than f32 (band 128 becomes
+    literally free: 3.09 ms vs band 64's 3.10 ms).  Failures on other
+    toolchains surface as compile exceptions and auto-fall back to f32
+    (_mark_int16_broken).  MAPPER_TPU_NO_INT16=1 forces f32."""
     import os
 
     if _INT16_BROKEN or os.environ.get("MAPPER_TPU_NO_INT16") == "1":
         return True
-    if interpret:
-        return False
-    return os.environ.get("MAPPER_TPU_INT16") != "1"
+    return False
 
 
 def _mark_int16_broken(e: Exception) -> None:
@@ -516,7 +518,18 @@ def _pen_kernel_x_i16(
     (measured: band 128 costs ~13% more than band 64 at 2x the cells), so
     fewer/denser vregs is the main throughput lever.  The integer penalty
     units are compile-time constants (they come from the static quantizer
-    result), sidestepping int16 scalar loads."""
+    result), sidestepping int16 scalar loads.
+
+    The service toolchain crashes on int16 vector minimum (bisected in
+    benchmarks/_probe_i16*.py), so every minimum here widens to int32 and
+    narrows back (_imin16 — probed to compile and produce exact results);
+    adds stay int16 (INF16=16384 leaves 2x headroom, no overflow before the
+    min), so state storage and most traffic keep the int16 density."""
+
+    def _imin16(a, b):
+        a32 = a.astype(jnp.int32) if hasattr(a, "astype") else jnp.int32(a)
+        b32 = b.astype(jnp.int32) if hasattr(b, "astype") else jnp.int32(b)
+        return jnp.minimum(a32, b32).astype(jnp.int16)
     c = pl.program_id(1)
     tile = best_ref.shape[0]
     n = n_ref[:]
@@ -530,7 +543,12 @@ def _pen_kernel_x_i16(
 
     @pl.when(c == 0)
     def _init():
-        best_ref[:] = jnp.where(k_range <= m, jnp.int16(0), inf)
+        # a select between two int16 SCALAR broadcasts crashes the service
+        # Mosaic build (bisected in benchmarks/_probe_i16i.py); select in
+        # int32 and narrow instead
+        best_ref[:] = jnp.where(
+            k_range <= m, jnp.int32(0), jnp.int32(INF16)
+        ).astype(jnp.int16)
         insx_ref[:] = jnp.full((tile, band), inf, jnp.int16)
         res_ref[:] = jnp.full((tile, 1), inf, jnp.int16)
 
@@ -543,35 +561,35 @@ def _pen_kernel_x_i16(
         w_valid = (x + k_range) < m
         active = x < n
         diag_new = jnp.where(
-            w_valid & active, jnp.minimum(best + pen, inf), inf
+            w_valid & active, _imin16(best + pen, inf), inf
         )
 
-        ins_candidates = jnp.minimum(
-            jnp.minimum(ins_x + ins_ext, best + ins_open), inf
+        ins_candidates = _imin16(
+            _imin16(ins_x + ins_ext, best + ins_open), inf
         )
         ins_shifted = jnp.concatenate(
             [ins_candidates[:, 1:], jnp.full((tile, 1), inf, jnp.int16)], axis=1
         )
         ins_new = jnp.where(active, ins_shifted, inf)
 
-        best_after = jnp.minimum(diag_new, ins_new)
+        best_after = _imin16(diag_new, ins_new)
 
         shifted = jnp.concatenate(
             [jnp.full((tile, 1), inf, jnp.int16), best_after[:, :-1]], axis=1
         )
-        chain = jnp.minimum(shifted + del_open, inf)
+        chain = _imin16(shifted + del_open, inf)
         step = 1
         while step < band:
             moved = jnp.concatenate(
                 [jnp.full((tile, step), inf, jnp.int16), chain[:, :-step]], axis=1
             )
-            chain = jnp.minimum(
-                chain, jnp.minimum(moved + jnp.int16(step * ints[5]), inf)
+            chain = _imin16(
+                chain, _imin16(moved + jnp.int16(step * ints[5]), inf)
             )
             step *= 2
         chain = jnp.where(w_valid & active, chain, inf)
 
-        best_new = jnp.minimum(best_after, chain)
+        best_new = _imin16(best_after, chain)
         best = jnp.where(active, best_new, best)
         ins_x = jnp.where(active, ins_new, ins_x)
 
