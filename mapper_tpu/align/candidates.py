@@ -343,6 +343,7 @@ class HashBlockPath:
             b.req_r = bool(req_r)
             b.gapped_block1_length = b1
             b.gapped_gap_length = gap
+            b.walk_index = self._native_pos - 1
             return b
         if self.current is None:
             return None
@@ -457,6 +458,15 @@ class CountingHashBlockPath:
         self.name = name
         self.pyramid = QueryPyramid(query)
         self.path = HashBlockPath(self.pyramid, database, query)
+        # with a precomputed native walk, every interesting block's index
+        # lookup (bin count, positions, secondary-polarity strand fold) is
+        # known up front — batch them in one vectorized pass instead of one
+        # PackedIndex.get + decode per block (the walk sequence already
+        # triggered any lazy growth, so merged_index is final here)
+        self._prefetched = None
+        seq_arr = self.path._native_seq
+        if seq_arr is not None and seq_arr.shape[0]:
+            self._prefetched = self._prefetch_matches(seq_arr)
         max_possible_indel = int(
             (len(query) * params.max_error_rate - params.deletion_start_penalty)
             / params.deletion_extension_penalty
@@ -477,6 +487,56 @@ class CountingHashBlockPath:
         self.pending_blocks: list = []
         self._prev_high_priority: list[MatchCounter] | None = None
         self._all_positions_memo: list[MatchCounter] | None = None
+
+    def _prefetch_matches(self, seq_arr: np.ndarray):
+        """Vectorized match_block for every block of the native walk sequence.
+        Returns a list parallel to the walk: None where the bin is too popular
+        (match_block's None), else the encoded global positions with the
+        secondary-polarity strand fold applied — element-for-element what
+        database.match_block returns (pinned by tests/test_native_walk.py)."""
+        db = self.database
+        merged = db.merged_index()
+        num_bp = seq_arr[:, 2].astype(np.int64)
+        fwd = seq_arr[:, 3].astype(np.int64)
+        rev = seq_arr[:, 4].astype(np.int64)
+        req_l = seq_arr[:, 5] != 0
+        req_r = seq_arr[:, 6] != 0
+        total_len = seq_arr[:, 1].astype(np.int64)
+        primary = np.where(req_l != req_r, req_l, fwd >= rev)
+        key = np.where(primary, fwd, rev)
+        caps = merged["caps"][num_bp]
+        bins = merged["bases"][num_bp] + np.remainder(key, merged["capacities"][num_bp])
+        cnt = merged["counts"][bins]
+        popular = cnt > caps
+        take = np.where(popular, 0, cnt).astype(np.int64)
+        total = int(take.sum())
+        if total:
+            starts = merged["offsets"][bins]
+            run_starts = np.cumsum(take) - take
+            flat = (
+                np.repeat(starts, take)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(run_starts, take)
+            )
+            vals = merged["values"][flat]
+            sec = np.repeat(~primary, take)
+            if np.any(sec):
+                seq_db = db.get_sequence_database()
+                lens_per = np.repeat(total_len, take)[sec]
+                seq_idx, offs = seq_db.decode_positions(vals[sec])
+                rc_idx = db._rc_index[seq_idx]
+                vals[sec] = (
+                    seq_db.starts[rc_idx]
+                    + db._seq_lengths[seq_idx]
+                    - offs
+                    - lens_per
+                )
+            pieces = np.split(vals, np.cumsum(take)[:-1]) if take.shape[0] > 1 else [vals]
+        else:
+            pieces = [np.zeros(0, dtype=np.int64)] * take.shape[0]
+        return [
+            None if popular[k] else pieces[k] for k in range(seq_arr.shape[0])
+        ]
 
     # --- block feed (java:344-384) ----------------------------------------
 
@@ -505,12 +565,15 @@ class CountingHashBlockPath:
                 if self.num_blocks_matching_anywhere < USUAL_MATCHES_BEFORE_INVESTIGATING:
                     self.try_ensure_good_match_counter()
                 return False
-            matches = self.database.match_block(
-                block.num_basepairs_used,
-                block.length,
-                block.lookup_key(),
-                block.is_primary_polarity(),
-            )
+            if self._prefetched is not None and block.walk_index >= 0:
+                matches = self._prefetched[block.walk_index]
+            else:
+                matches = self.database.match_block(
+                    block.num_basepairs_used,
+                    block.length,
+                    block.lookup_key(),
+                    block.is_primary_polarity(),
+                )
             if matches is None:
                 continue
             break

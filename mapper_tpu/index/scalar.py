@@ -56,6 +56,10 @@ class ScalarHashBlock:
         "next_r",
         "gapped_block1_length",
         "gapped_gap_length",
+        # index into a precomputed native walk sequence (-1 = not from one);
+        # lets consumers pair prefetched lookup results with the block even
+        # after reordering (align/candidates.py pending_blocks)
+        "walk_index",
     )
 
     def __init__(self, start: int, length: int):
@@ -72,6 +76,7 @@ class ScalarHashBlock:
         self.next_r = False
         self.gapped_block1_length = -1
         self.gapped_gap_length = 0
+        self.walk_index = -1
 
     # --- constructors ---------------------------------------------------
 

@@ -99,3 +99,48 @@ def test_native_walk_growth_trigger(monkeypatch):
     exp = python_walk(db, query, monkeypatch)
     assert got == exp
     assert db.max_fully_set_up_size >= before
+
+
+def test_prefetched_matches_equal_match_block(monkeypatch):
+    """CountingHashBlockPath's batched lookup prefetch must return exactly
+    what database.match_block returns for every walked block (including
+    too-popular None and secondary-polarity strand folds)."""
+    from mapper_tpu.align.candidates import CountingHashBlockPath
+    from mapper_tpu.align.params import AlignmentParameters
+
+    monkeypatch.setenv("MAPPER_TPU_NATIVE", "1")
+    rng = np.random.default_rng(3)
+    # a repetitive reference makes popular bins likely
+    unit = "".join(rng.choice(list("ACGT"), size=120))
+    ref_text = unit * 40 + "".join(rng.choice(list("ACGT"), size=30000))
+    index = Api.new_database({"r": ref_text})
+    db = index.hashblock_database
+    params = AlignmentParameters.defaults()
+    checked = 0
+    for t in range(30):
+        if rng.random() < 0.4:
+            read = unit[: int(rng.integers(40, 120))]
+        else:
+            pos = int(rng.integers(0, 30000))
+            read = ref_text[len(unit) * 40 + pos :][: int(rng.integers(60, 200))]
+            if len(read) < 40:
+                continue
+        query = Sequence.from_text("q", read)
+        cp = CountingHashBlockPath(db, query, params)
+        if cp._prefetched is None:
+            continue
+        seq_arr = cp.path._native_seq
+        for k in range(seq_arr.shape[0]):
+            start, total_len, num_bp, fwd, rev, req_l, req_r, b1, gap = seq_arr[
+                k
+            ].tolist()
+            primary = bool(req_l) if bool(req_l) != bool(req_r) else fwd >= rev
+            key = fwd if primary else rev
+            expected = db.match_block(num_bp, total_len, key, primary)
+            got = cp._prefetched[k]
+            if expected is None:
+                assert got is None, (t, k)
+            else:
+                assert got is not None and np.array_equal(got, expected), (t, k)
+            checked += 1
+    assert checked > 200
