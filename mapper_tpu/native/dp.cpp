@@ -190,6 +190,10 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
   const int slack_lo = std::min(0, m - n);
   const int slack_hi = std::max(0, m - n);
 
+  // Vectorization split: insX and the diagonal overlay have no dependency
+  // along y, so they fill as branch-free passes the compiler can SIMD; only
+  // the best/insY pair carries the sequential y recurrence.  Same operations
+  // per cell in the same order — values are bit-identical to the fused loop.
   for (int x = 1; x <= n; x++) {
     const uint8_t qc = q[x - 1];
     int y_lo = 1, y_hi = m;
@@ -216,42 +220,54 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
     wlo[x] = y_lo >= 2 ? y_lo - 1 : 0;
     whi[x] = y_hi < m ? y_hi + 1 : m;
     if (y_hi < y_lo) continue;
+
+    const double* prev_best = &best[(size_t)(x - 1) * stride];
+    const double* prev_insx = &insx[(size_t)(x - 1) * stride];
+    double* row_best = &best[(size_t)x * stride];
+    double* row_insx = &insx[(size_t)x * stride];
+    double* row_insy = &insy[(size_t)x * stride];
+    const double* tq = tbl.t[qc & 0xF];
+    const bool amb_qc = fully_ambiguous(qc);
+    const uint8_t qnext = x < n ? q[x] : 0;
+    const double* tqn = tbl.t[qnext & 0xF];
+    const bool amb_qn = fully_ambiguous(qnext);
+    const bool have_qprev = x >= 2;
+    const uint8_t qprev = have_qprev ? q[x - 2] : 0;
+
+    // insX pass (PathAligner.computeUpdated, java:591-637)
     for (int y = y_lo; y <= y_hi; y++) {
-      // insX from the left (PathAligner.computeUpdated, java:591-637)
-      double ix;
-      if (y == m && may_extend) {
-        ix = B(x - 1, y) + p.unaligned;
-      } else {
-        bool new_allowed = true;
-        // prev: query[x-2] vs ref[y-1] mismatched -> disallow
-        if (x >= 2 && !can_match(q[x - 2], w[y - 1])) new_allowed = false;
-        // next: query[x-1] vs ref[y] perfect or fully ambiguous -> disallow
-        if (new_allowed && y < m) {
-          const double np = tbl.t[qc & 0xF][w[y] & 0xF];
-          if (np == 0.0 || fully_ambiguous(qc) || fully_ambiguous(w[y]))
-            new_allowed = false;
-        }
-        const double new_ins = new_allowed ? B(x - 1, y) + ins_open : DISALLOWED;
-        const double ext_ins = IX(x - 1, y) + p.ins_ext;
-        ix = std::min(new_ins, ext_ins);
+      bool new_allowed = !(have_qprev && !can_match(qprev, w[y - 1]));
+      if (new_allowed && y < m) {
+        const double np = tq[w[y] & 0xF];
+        if (np == 0.0 || amb_qc || fully_ambiguous(w[y])) new_allowed = false;
       }
-      IX(x, y) = ix;
+      const double new_ins = new_allowed ? prev_best[y] + ins_open : DISALLOWED;
+      const double ext_ins = prev_insx[y] + p.ins_ext;
+      row_insx[y] = std::min(new_ins, ext_ins);
+    }
+    if (y_hi == m && may_extend) row_insx[m] = prev_best[m] + p.unaligned;
 
-      // insY within the row (java:639-676)
-      bool del_allowed = true;
-      if (y >= 2 && !can_match(qc, w[y - 2])) del_allowed = false;
+    // overlay pass (reuses insy row as scratch until the final min)
+    for (int y = y_lo; y <= y_hi; y++) {
+      row_best[y] = prev_best[y - 1] + tq[w[y - 1] & 0xF];
+    }
+
+    // sequential best/insY recurrence (java:639-676)
+    double b_prev = row_best[y_lo - 1];
+    double iy_prev = row_insy[y_lo - 1];
+    for (int y = y_lo; y <= y_hi; y++) {
+      bool del_allowed = !(y >= 2 && !can_match(qc, w[y - 2]));
       if (del_allowed && x < n) {
-        const double np = tbl.t[q[x] & 0xF][w[y - 1] & 0xF];
-        if (np == 0.0 || fully_ambiguous(q[x]) || fully_ambiguous(w[y - 1]))
-          del_allowed = false;
+        const double np = tqn[w[y - 1] & 0xF];
+        if (np == 0.0 || amb_qn || fully_ambiguous(w[y - 1])) del_allowed = false;
       }
-      const double new_del = del_allowed ? B(x, y - 1) + del_open : DISALLOWED;
-      const double ext_del = IY(x, y - 1) + p.del_ext;
-      const double iy = std::min(new_del, ext_del);
-      IY(x, y) = iy;
-
-      const double overlay = B(x - 1, y - 1) + tbl.t[qc & 0xF][w[y - 1] & 0xF];
-      B(x, y) = std::min(std::min(overlay, ix), iy);
+      const double new_del = del_allowed ? b_prev + del_open : DISALLOWED;
+      const double iy = std::min(new_del, iy_prev + p.del_ext);
+      const double b = std::min(std::min(row_best[y], row_insx[y]), iy);
+      row_insy[y] = iy;
+      row_best[y] = b;
+      b_prev = b;
+      iy_prev = iy;
     }
   }
 
