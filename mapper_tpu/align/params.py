@@ -20,7 +20,9 @@ Indel block (110-127): start + extension * length.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+import copy
+
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -76,7 +78,17 @@ class AlignmentParameters:
         )
 
     def clone(self, **overrides) -> "AlignmentParameters":
-        return replace(self, **overrides)
+        # shallow copy keeps the cached penalty table / native params block
+        # (they do not depend on max_error_rate, the only hot override);
+        # any other override drops them so they rebuild correctly
+        new = copy.copy(self)
+        for k, v in overrides.items():
+            setattr(new, k, v)
+        if any(k != "max_error_rate" for k in overrides):
+            new.__dict__.pop("_penalty_table", None)
+            new.__dict__.pop("_native_params", None)
+            new.__dict__.pop("_native_params_ptr", None)
+        return new
 
     def get_starting_insertion_start_penalty(self) -> float:
         return 0.0 if self.starting_insertion_start_free else self.insertion_start_penalty

@@ -834,15 +834,26 @@ def native_local_align_one(
     if buf is None or buf.shape[0] < max_blocks:
         buf = np.empty((max(max_blocks, 512), 4), dtype=np.int32)
         scratch.blocks = buf
-    pens = getattr(scratch, "pens", None)
-    if pens is None:
+        scratch.blocks_ptr = ctypes.cast(
+            buf.ctypes.data, ctypes.POINTER(ctypes.c_int32)
+        )
         pens = np.empty(2, dtype=np.float64)
         scratch.pens = pens
+        p_f64 = ctypes.POINTER(ctypes.c_double)
+        scratch.pens_ptr0 = ctypes.cast(pens.ctypes.data, p_f64)
+        scratch.pens_ptr1 = ctypes.cast(pens.ctypes.data + 8, p_f64)
+    pens = scratch.pens
+    # the params pointer is stable for the lifetime of the cached array
+    p_ptr = params.__dict__.get("_native_params_ptr")
+    if p_ptr is None:
+        p_ptr = ctypes.cast(
+            _params_array(params).ctypes.data, ctypes.POINTER(ctypes.c_double)
+        )
+        params.__dict__["_native_params_ptr"] = p_ptr
     if not query_codes.flags.c_contiguous:
         query_codes = np.ascontiguousarray(query_codes)
     if not ref_codes.flags.c_contiguous:
         ref_codes = np.ascontiguousarray(ref_codes)
-    p_f64 = ctypes.POINTER(ctypes.c_double)
     status = lib.mapper_local_align_one(
         query_codes.ctypes.data,
         qn,
@@ -854,11 +865,11 @@ def native_local_align_one(
         1 if at_ref_end else 0,
         1 if confident else 0,
         rate,
-        _params_array(params).ctypes.data_as(p_f64),
-        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p_ptr,
+        scratch.blocks_ptr,
         max_blocks,
-        pens[0:].ctypes.data_as(p_f64),
-        pens[1:].ctypes.data_as(p_f64),
+        scratch.pens_ptr0,
+        scratch.pens_ptr1,
     )
     if status == -2:
         return None
