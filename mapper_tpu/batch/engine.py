@@ -646,10 +646,26 @@ class BatchAligner:
                 np.ones(rows_arr.shape[0], dtype=np.float32),
             )
 
-        for pi in deferred:
-            results[pi] = self._align_paired_pair_exact(
-                queries[pi], components, table, combos, pi
-            )
+        if len(deferred) >= 8 and os.environ.get("MAPPER_TPU_EXACT_THREADS", "1") != "0":
+            # the per-pair exact drivers are independent (own aligner, own
+            # memo; shared caches are GIL-atomic idempotent dict fills) and
+            # ~half their time is inside native local_align calls that
+            # release the GIL — two threads overlap that half
+            from concurrent.futures import ThreadPoolExecutor
+
+            def run_pair(pi):
+                return self._align_paired_pair_exact(
+                    queries[pi], components, table, combos, pi
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                for pi, res in zip(deferred, ex.map(run_pair, deferred)):
+                    results[pi] = res
+        else:
+            for pi in deferred:
+                results[pi] = self._align_paired_pair_exact(
+                    queries[pi], components, table, combos, pi
+                )
         return results
 
     def _ungapped_penalties(self, seqs, table, rows):
