@@ -669,6 +669,197 @@ def _pen_core_i16(q_codes, w_codes, n, m, ints, band, tile, interpret, xchunk=1)
     return out[:, 0], diag_sums
 
 
+HALF = 64  # the packed kernel's per-candidate band
+
+
+def _pen_kernel_x_i16_packed(
+    pen_ref, nl_ref, ml_ref, n2_ref, m2_ref, out_ref, best_ref, insx_ref,
+    res_ref, *, lq: int, xchunk: int, ints: tuple,
+):
+    """Two band-64 candidates per 128-lane row: lanes [0,64) carry candidate
+    A, [64,128) candidate B.  A lane barrier at the half boundary keeps the
+    deletion chain and the insertion shift from crossing halves, so each
+    half's DP is bit-identical to the band-64 kernel's.  The f32 kernel is
+    vector-issue-bound and band 128 costs the same wall time as band 64
+    (BENCH.md), so packing doubles effective-band-64 throughput.
+    nl/ml are lane-mapped per-half n/m ([tile, 128]); n2/m2 are the compact
+    [tile, 2] copies for the scalar capture logic."""
+    band = 2 * HALF
+    c = pl.program_id(1)
+    tile = best_ref.shape[0]
+    inf = jnp.int16(INF16)
+    ins_open = jnp.int16(ints[2])
+    ins_ext = jnp.int16(ints[3])
+    del_open = jnp.int16(ints[4])
+    k_range = jax.lax.broadcasted_iota(jnp.int32, (tile, band), 1)
+    sub = k_range & (HALF - 1)  # lane index within the half
+    n_lane = nl_ref[:]
+    m_lane = ml_ref[:]
+
+    def _imin16(a, b):
+        a32 = a.astype(jnp.int32) if hasattr(a, "astype") else jnp.int32(a)
+        b32 = b.astype(jnp.int32) if hasattr(b, "astype") else jnp.int32(b)
+        return jnp.minimum(a32, b32).astype(jnp.int16)
+
+    @pl.when(c == 0)
+    def _init():
+        best_ref[:] = jnp.where(
+            sub <= m_lane, jnp.int32(0), jnp.int32(INF16)
+        ).astype(jnp.int16)
+        insx_ref[:] = jnp.full((tile, band), inf, jnp.int16)
+        res_ref[:] = jnp.full((tile, 2), inf, jnp.int16)
+
+    best = best_ref[:]
+    ins_x = insx_ref[:]
+    res = res_ref[:]
+    for j in range(xchunk):
+        x = c * xchunk + j
+        pen = pen_ref[j]
+        w_valid = (x + sub) < m_lane
+        active = x < n_lane
+        diag_new = jnp.where(w_valid & active, _imin16(best + pen, inf), inf)
+
+        ins_candidates = _imin16(_imin16(ins_x + ins_ext, best + ins_open), inf)
+        ins_shifted = jnp.concatenate(
+            [ins_candidates[:, 1:], jnp.full((tile, 1), inf, jnp.int16)], axis=1
+        )
+        # lane HALF-1 would receive lane HALF (the other candidate): barrier
+        # (scalar-vs-array int16 select compiles; only scalar-scalar crashes)
+        ins_shifted = jnp.where(sub == HALF - 1, inf, ins_shifted)
+        ins_new = jnp.where(active, ins_shifted, inf)
+
+        best_after = _imin16(diag_new, ins_new)
+
+        shifted = jnp.concatenate(
+            [jnp.full((tile, 1), inf, jnp.int16), best_after[:, :-1]], axis=1
+        )
+        shifted = jnp.where(sub < 1, inf, shifted)
+        chain = _imin16(shifted + del_open, inf)
+        step = 1
+        while step < HALF:  # within-half propagation only
+            moved = jnp.concatenate(
+                [jnp.full((tile, step), inf, jnp.int16), chain[:, :-step]], axis=1
+            )
+            moved = jnp.where(sub < step, inf, moved)
+            chain = _imin16(chain, _imin16(moved + jnp.int16(step * ints[5]), inf))
+            step *= 2
+        chain = jnp.where(w_valid & active, chain, inf)
+
+        best_new = _imin16(best_after, chain)
+        best = jnp.where(active, best_new, best)
+        ins_x = jnp.where(active, ins_new, ins_x)
+
+        tail_valid = ((x + 1) + sub) <= m_lane
+        finals = jnp.where(tail_valid, best, inf).astype(jnp.int32)
+        cap_a = jnp.min(
+            jnp.where(k_range < HALF, finals, jnp.int32(INF16)), axis=1
+        ).astype(jnp.int16)
+        cap_b = jnp.min(
+            jnp.where(k_range >= HALF, finals, jnp.int32(INF16)), axis=1
+        ).astype(jnp.int16)
+        fin_a = (x + 1) == n2_ref[:, 0:1]
+        fin_b = (x + 1) == n2_ref[:, 1:2]
+        res = jnp.concatenate(
+            [
+                jnp.where(fin_a, cap_a.reshape(tile, 1), res[:, 0:1]),
+                jnp.where(fin_b, cap_b.reshape(tile, 1), res[:, 1:2]),
+            ],
+            axis=1,
+        )
+
+    best_ref[:] = best
+    insx_ref[:] = ins_x
+    res_ref[:] = res
+
+    @pl.when(c == (lq // xchunk) - 1)
+    def _finish():
+        out_ref[:] = res_ref[:]
+
+
+def _pen_core_i16_packed(qA, wA, nA, mA, qB, wB, nB, mB, ints, tile, interpret, xchunk=1):
+    """Packed-pair variant of _pen_core_i16 at effective band 64: candidate
+    A of each kernel row occupies lanes [0, 64), candidate B lanes [64, 128).
+    Callers split the batch into the two halves HOST-side (contiguous
+    slices) — device-side strided gathers were measured to cost more than
+    the kernel itself saves."""
+    hb = qA.shape[0]
+    lq = qA.shape[1]
+    band = 2 * HALF
+    mutation_i = jnp.int32(ints[0])
+    amb_unit_i = jnp.int32(ints[1])
+
+    # one scan computes both halves' penalty rows (two scans double the
+    # per-step scan overhead, which dominates at these shapes)
+    def pen_step(carry, x):
+        accA, accB = carry
+        qa = jax.lax.dynamic_slice_in_dim(qA, x, 1, axis=1)
+        wa = jax.lax.dynamic_slice_in_dim(wA, x, HALF, axis=1)
+        pA = _base_penalty_i16(qa, wa, mutation_i, amb_unit_i)
+        qb = jax.lax.dynamic_slice_in_dim(qB, x, 1, axis=1)
+        wb = jax.lax.dynamic_slice_in_dim(wB, x, HALF, axis=1)
+        pB = _base_penalty_i16(qb, wb, mutation_i, amb_unit_i)
+        accA = accA + jnp.where(x < nA, pA.astype(jnp.int32), 0)
+        accB = accB + jnp.where(x < nB, pB.astype(jnp.int32), 0)
+        return (accA, accB), jnp.concatenate([pA, pB], axis=1)
+
+    zero = jnp.zeros((hb, HALF), jnp.int32)
+    (diagA, diagB), pen = jax.lax.scan(pen_step, (zero, zero), jnp.arange(lq))
+
+    ones = jnp.ones((1, HALF), jnp.int32)
+    n_lane = jnp.concatenate([nA * ones, nB * ones], axis=1)  # [hb, 128]
+    m_lane = jnp.concatenate([mA * ones, mB * ones], axis=1)
+    n2 = jnp.concatenate([nA, nB], axis=1)  # [hb, 2]
+    m2 = jnp.concatenate([mA, mB], axis=1)
+
+    while xchunk > 1 and (lq % xchunk != 0 or xchunk * tile * band * 2 > 2 * 2**20):
+        xchunk //= 2
+    grid = (hb // tile, lq // xchunk)
+    kernel = functools.partial(
+        _pen_kernel_x_i16_packed, lq=lq, xchunk=xchunk, ints=tuple(ints)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (xchunk, tile, band), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile, band), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, band), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 2), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hb, 2), jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((tile, band), jnp.int16),
+            pltpu.VMEM((tile, band), jnp.int16),
+            pltpu.VMEM((tile, 2), jnp.int16),
+        ],
+        interpret=interpret,
+    )(pen, n_lane, m_lane, n2, m2)
+    # out [hb, 2]: column 0 = the A half, column 1 = the B half
+    return out[:, 0], out[:, 1], diagA, diagB
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "quant"))
+def _banded_scores_pallas_pen_i16_packed(qA, wA, nA, mA, qB, wB, nB, mB, tile, interpret, quant):
+    """Packed fixed-point pen entry (effective band 64, two candidates per
+    128-lane row); the caller splits/reassembles halves host-side."""
+    scale, ints = quant
+    sA, sB, dA, dB = _pen_core_i16_packed(
+        qA.astype(jnp.int32), wA.astype(jnp.int32), nA, mA,
+        qB.astype(jnp.int32), wB.astype(jnp.int32), nB, mB,
+        ints, tile, interpret,
+    )
+    inv = np.float32(1.0) / np.float32(scale)
+
+    def fin(si):
+        return jnp.where(si >= INF16, BIG, si.astype(jnp.float32) * inv)
+
+    return fin(sA), fin(sB), dA.astype(jnp.float32) * inv, dB.astype(jnp.float32) * inv
+
+
 def _pen_core(q_codes, w_codes, n, m, params_vec, band, tile, interpret, xchunk=1):
     # xchunk > 1 amortizes grid-step overhead but was measured a wash on real
     # hardware (device/tunnel variance dominates) and Mosaic stack-allocates
@@ -976,10 +1167,27 @@ def banded_scores(
     q_np = np.asarray(q_codes, dtype=np.uint8)
     w_np = np.asarray(w_codes, dtype=np.uint8)
     b, lq = q_np.shape
+    import os as _os
+
+    # packed-pair mode: two band-64 candidates per 128-lane kernel row
+    # (effective band 64 at band-128 wall time; see _pen_kernel_x_i16_packed)
+    # opt-in: measured on the real chip the packed kernel's per-step costs
+    # (lane-mapped n/m masks, half-boundary barriers, two masked capture
+    # reduces) outweigh the halved row count — 4.68 ms/iter vs the plain
+    # band-64 int16 kernel's 3.10 (BENCH.md "Packed-pair kernel") — so the
+    # plain kernel stays the default; the packed path remains available and
+    # bit-identical for future toolchains where select/reduce lower better
+    pack64 = (
+        variant == "pen"
+        and band == 64
+        and not _int16_disabled(interpret)
+        and _os.environ.get("MAPPER_TPU_PACK64") == "1"
+    )
     # pad query length to a chunk multiple and the window to lq + band so the
     # kernels' static slices never clamp
     lq_padded = -(-lq // chunk) * chunk
-    padded_b = -(-b // tile) * tile
+    row_quantum = 2 * tile if pack64 else tile
+    padded_b = -(-b // row_quantum) * row_quantum
     q_host = np.zeros((padded_b, lq_padded), dtype=np.uint8)
     q_host[:b, :lq] = q_np
     w_host = np.zeros((padded_b, lq_padded + band), dtype=np.uint8)
@@ -999,9 +1207,19 @@ def banded_scores(
         quant = None if _int16_disabled(interpret) else _quantize_params(params, lq_padded, band)
         if quant is not None:
             try:
-                scores, diag_sums = _banded_scores_pallas_pen_i16(
-                    q_codes, w_codes, n, m, band, tile, interpret, quant
-                )
+                if pack64:
+                    hb = padded_b // 2
+                    sA, sB, dA, dB = _banded_scores_pallas_pen_i16_packed(
+                        q_codes[:hb], w_codes[:hb], n[:hb], m[:hb],
+                        q_codes[hb:], w_codes[hb:], n[hb:], m[hb:],
+                        tile, interpret, quant,
+                    )
+                    scores = jnp.concatenate([sA, sB])
+                    diag_sums = jnp.concatenate([dA, dB])
+                else:
+                    scores, diag_sums = _banded_scores_pallas_pen_i16(
+                        q_codes, w_codes, n, m, band, tile, interpret, quant
+                    )
             except Exception as e:
                 _mark_int16_broken(e)
                 quant = None

@@ -248,3 +248,39 @@ def test_int16_saturation_reports_big():
         )
     )
     assert scores[0] == 64.0
+
+
+def test_packed_pair_kernel_matches_unpacked(monkeypatch):
+    """The packed-pair kernel (two band-64 candidates per 128-lane row,
+    MAPPER_TPU_PACK64) must be bit-identical to the unpacked band-64 int16
+    kernel: the half-boundary barrier makes each half an independent band-64
+    DP."""
+    rng = np.random.default_rng(9)
+    params = AlignmentParameters.defaults()
+    lq, shift, band, tile = 192, 16, 64, 8
+    batch_q, batch_w, ns, ms = [], [], [], []
+    for i in range(32):
+        n = int(rng.integers(100, lq))
+        q, w = random_pair(
+            rng, n, shift, num_snps=int(rng.integers(0, 6)), indel=int(rng.integers(0, 4))
+        )
+        batch_q.append(np.pad(q, (0, lq - q.shape[0])))
+        batch_w.append(np.pad(w, (0, max(0, lq + band - w.shape[0]))))
+        ns.append(q.shape[0])
+        ms.append(min(w.shape[0], lq + band))
+    q_arr = np.stack(batch_q)
+    w_arr = np.stack([w[: lq + band] for w in batch_w])
+    n_arr, m_arr = np.array(ns), np.array(ms)
+
+    monkeypatch.setenv("MAPPER_TPU_PACK64", "1")
+    s_packed, d_packed = pallas_dp.banded_scores(
+        q_arr, w_arr, n_arr, m_arr, params, band=band, tile=tile,
+        use_pallas=True, interpret=True, return_diag_sums=True,
+    )
+    monkeypatch.setenv("MAPPER_TPU_PACK64", "0")
+    s_plain, d_plain = pallas_dp.banded_scores(
+        q_arr, w_arr, n_arr, m_arr, params, band=band, tile=tile,
+        use_pallas=True, interpret=True, return_diag_sums=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s_packed), np.asarray(s_plain))
+    np.testing.assert_array_equal(np.asarray(d_packed), np.asarray(d_plain))
