@@ -46,7 +46,7 @@ _INT16_BROKEN = False  # set when the backend's Mosaic build rejects int16
 def _int16_disabled(interpret: bool = False) -> bool:
     """The int16 kernel is DEFAULT-ON since round 4: the service Mosaic
     build's int16 gaps (vector minimum, int16 compares, scalar-scalar
-    selects — bisected in benchmarks/_probe_i16*.py) are all avoided by
+    selects — bisected in benchmarks/probe_i16/) are all avoided by
     construction (int32-widened minimum, int32 compares, int32 scalar
     selects narrowed after), verified bit-exact on the real chip
     (TPU_PARITY.json) and ~1.2-1.3x faster than f32 (band 128 becomes
@@ -521,7 +521,7 @@ def _pen_kernel_x_i16(
     result), sidestepping int16 scalar loads.
 
     The service toolchain crashes on int16 vector minimum (bisected in
-    benchmarks/_probe_i16*.py), so every minimum here widens to int32 and
+    benchmarks/probe_i16/), so every minimum here widens to int32 and
     narrows back (_imin16 — probed to compile and produce exact results);
     adds stay int16 (INF16=16384 leaves 2x headroom, no overflow before the
     min), so state storage and most traffic keep the int16 density."""
@@ -544,7 +544,7 @@ def _pen_kernel_x_i16(
     @pl.when(c == 0)
     def _init():
         # a select between two int16 SCALAR broadcasts crashes the service
-        # Mosaic build (bisected in benchmarks/_probe_i16i.py); select in
+        # Mosaic build (bisected in benchmarks/probe_i16/i.py); select in
         # int32 and narrow instead
         best_ref[:] = jnp.where(
             k_range <= m, jnp.int32(0), jnp.int32(INF16)

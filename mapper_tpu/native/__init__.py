@@ -3,14 +3,16 @@
 The compute path is JAX/XLA/Pallas; these are the host-side hot loops around
 it — currently the exact glocal DP (dp.cpp) used by the sequential engine's
 extend step and the batch engine's traceback finalization.  The library is
-compiled on first use (g++ is part of the toolchain) and cached next to the
-sources; everything degrades gracefully to the numpy implementation when a
-compiler is unavailable.
+compiled on first use (g++ is part of the toolchain) and cached OUTSIDE the
+source tree in a directory keyed by the source content hash (no stale-binary
+risk, no build artifacts in git); everything degrades gracefully to the numpy
+implementation when a compiler is unavailable.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,12 +20,30 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("MAPPER_TPU_NATIVE_CACHE")
+    if not base:
+        xdg = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        base = os.path.join(xdg, "mapper_tpu", "native")
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _library_path(source: str, stem: str) -> str:
+    """Cache path for a compiled source: keyed by the source content hash so a
+    source edit can never load a stale binary."""
+    with open(source, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_cache_dir(), f"{stem}-{digest}.so")
+
+
 _SOURCE = os.path.join(_HERE, "dp.cpp")
-_LIBRARY = os.path.join(_HERE, "libmapperdp.so")
 _CAND_SOURCE = os.path.join(_HERE, "candidates.cpp")
-_CAND_LIBRARY = os.path.join(_HERE, "libmappercand.so")
 _TEXT_SOURCE = os.path.join(_HERE, "textrows.cpp")
-_TEXT_LIBRARY = os.path.join(_HERE, "libmappertext.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -34,7 +54,7 @@ _text_lib = None
 _text_load_failed = False
 
 
-def _build(source: str = _SOURCE, library: str = _LIBRARY, extra=()) -> bool:
+def _build(source: str, library: str, extra=()) -> bool:
     try:
         subprocess.run(
             [
@@ -65,18 +85,17 @@ def get_library():
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIBRARY) or os.path.getmtime(_LIBRARY) < os.path.getmtime(
-            _SOURCE
-        ):
+        library = _library_path(_SOURCE, "libmapperdp")
+        if not os.path.exists(library):
             # -ffp-contract=off: the batched local-align path's penalty sums
             # must match numpy bit-for-bit; FMA contraction of a+b*c would
             # change last-ulp results
-            if not _build(extra=("-ffp-contract=off", "-fopenmp")):
-                if not _build(extra=("-ffp-contract=off",)):
+            if not _build(_SOURCE, library, extra=("-ffp-contract=off", "-fopenmp")):
+                if not _build(_SOURCE, library, extra=("-ffp-contract=off",)):
                     _load_failed = True
                     return None
         try:
-            lib = ctypes.CDLL(_LIBRARY)
+            lib = ctypes.CDLL(library)
             lib.mapper_dp_align.restype = ctypes.c_int
             lib.mapper_dp_align.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8),
@@ -132,16 +151,15 @@ def get_candidates_library():
     with _lock:
         if _cand_lib is not None or _cand_load_failed:
             return _cand_lib
-        if not os.path.exists(_CAND_LIBRARY) or os.path.getmtime(
-            _CAND_LIBRARY
-        ) < os.path.getmtime(_CAND_SOURCE):
-            if not _build(_CAND_SOURCE, _CAND_LIBRARY, extra=("-fopenmp",)):
+        library = _library_path(_CAND_SOURCE, "libmappercand")
+        if not os.path.exists(library):
+            if not _build(_CAND_SOURCE, library, extra=("-fopenmp",)):
                 # retry without OpenMP (still correct, single-threaded)
-                if not _build(_CAND_SOURCE, _CAND_LIBRARY):
+                if not _build(_CAND_SOURCE, library):
                     _cand_load_failed = True
                     return None
         try:
-            lib = ctypes.CDLL(_CAND_LIBRARY)
+            lib = ctypes.CDLL(library)
             i64 = ctypes.c_int64
             i32 = ctypes.c_int32
             p_i64 = ctypes.POINTER(ctypes.c_int64)
@@ -218,14 +236,13 @@ def get_textrows_library():
     with _lock:
         if _text_lib is not None or _text_load_failed:
             return _text_lib
-        if not os.path.exists(_TEXT_LIBRARY) or os.path.getmtime(
-            _TEXT_LIBRARY
-        ) < os.path.getmtime(_TEXT_SOURCE):
-            if not _build(_TEXT_SOURCE, _TEXT_LIBRARY):
+        library = _library_path(_TEXT_SOURCE, "libmappertext")
+        if not os.path.exists(library):
+            if not _build(_TEXT_SOURCE, library):
                 _text_load_failed = True
                 return None
         try:
-            lib = ctypes.CDLL(_TEXT_LIBRARY)
+            lib = ctypes.CDLL(library)
             lib.mapper_format_rows.restype = ctypes.c_int64
             lib.mapper_format_rows.argtypes = [
                 ctypes.c_char_p,
