@@ -464,9 +464,16 @@ class CountingHashBlockPath:
         # PackedIndex.get + decode per block (the walk sequence already
         # triggered any lazy growth, so merged_index is final here)
         self._prefetched = None
+        # fully-resolved prefetch: positions decoded, collision checks run
+        # natively, strand fold applied — step() just replays arrays
+        self._prefetched2 = None
         seq_arr = self.path._native_seq
         if seq_arr is not None and seq_arr.shape[0]:
+            import os as _os
+
             self._prefetched = self._prefetch_matches(seq_arr)
+            if _os.environ.get("MAPPER_TPU_NATIVE_FOLD", "1") != "0":
+                self._prefetched2 = self._fold_and_filter(seq_arr, self._prefetched)
         max_possible_indel = int(
             (len(query) * params.max_error_rate - params.deletion_start_penalty)
             / params.deletion_extension_penalty
@@ -538,6 +545,83 @@ class CountingHashBlockPath:
             None if popular[k] else pieces[k] for k in range(seq_arr.shape[0])
         ]
 
+    def _fold_and_filter(self, seq_arr: np.ndarray, pieces):
+        """Resolve the prefetched match lists all the way to what
+        _update_matches consumes: decode every encoded position once, run the
+        +-20bp collision checks in one native call
+        (candidates.cpp::mapper_collision_batch; _passes_collision_check is
+        the oracle), and apply the reverse-strand fold — so step() only
+        replays (fold_seq_idx, fold_offset, is_rc) rows for the survivors.
+        Returns (fold_idx, fold_off, is_rc, bounds, popular) or None when the
+        native library is unavailable (step() then uses the per-match Python
+        path)."""
+        from mapper_tpu.native import native_collision_batch
+
+        db = self.database
+        seq_db = self.seq_db
+        qn = len(self.query)
+        nb = seq_arr.shape[0]
+        popular = np.fromiter((p is None for p in pieces), dtype=bool, count=nb)
+        take = np.fromiter(
+            (0 if p is None else p.shape[0] for p in pieces), dtype=np.int64, count=nb
+        )
+        total = int(take.sum())
+        if total == 0:
+            empty = np.zeros(0, dtype=np.int64)
+            return (
+                empty,
+                empty,
+                np.zeros(0, dtype=bool),
+                np.zeros(nb + 1, dtype=np.int64),
+                popular,
+            )
+        vals = np.concatenate([p for p in pieces if p is not None and p.shape[0]])
+        seq_idx, offs = seq_db.decode_positions(vals)
+        bstart = np.repeat(seq_arr[:, 0].astype(np.int64), take)
+        blen = np.repeat(seq_arr[:, 1].astype(np.int64), take)
+        bnbp = np.repeat(seq_arr[:, 2].astype(np.int64), take)
+        seq_lens = db._seq_lengths[seq_idx]
+        starts = seq_db.starts
+        ok = native_collision_batch(
+            self.query.codes,
+            seq_db.concatenated_codes(),
+            starts[seq_idx] + offs,
+            offs,
+            seq_lens,
+            bstart,
+            blen,
+            bnbp,
+        )
+        if ok is None:
+            return None
+        rc_flags = getattr(db, "_rc_flags_arr", None)
+        if rc_flags is None:
+            rc_flags = np.fromiter(
+                (s.complemented_from is not None for s in seq_db.sequences),
+                dtype=bool,
+                count=len(seq_db.sequences),
+            )
+            db._rc_flags_arr = rc_flags
+        sel = ok != 0
+        seq_idx = seq_idx[sel]
+        offs = offs[sel]
+        bstart_s = bstart[sel]
+        blen_s = blen[sel]
+        seq_lens_s = seq_lens[sel]
+        is_rc = rc_flags[seq_idx]
+        fold_idx = np.where(is_rc, db._rc_index[seq_idx], seq_idx)
+        # RC fold (java:154-166): offset in forward coordinates
+        fold_off = np.where(
+            is_rc,
+            (seq_lens_s - (offs + blen_s)) - (qn - (bstart_s + blen_s)),
+            offs - bstart_s,
+        )
+        block_ids = np.repeat(np.arange(nb, dtype=np.int64), take)[sel]
+        counts_ok = np.bincount(block_ids, minlength=nb)
+        bounds = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(counts_ok, out=bounds[1:])
+        return fold_idx, fold_off, is_rc, bounds, popular
+
     # --- block feed (java:344-384) ----------------------------------------
 
     def _get_next_interesting_block(self):
@@ -558,6 +642,8 @@ class CountingHashBlockPath:
         (java:40-179)."""
         if self.done:
             return False
+        pre2 = self._prefetched2
+        use2 = False
         while True:
             block = self._get_next_interesting_block()
             if block is None:
@@ -565,6 +651,12 @@ class CountingHashBlockPath:
                 if self.num_blocks_matching_anywhere < USUAL_MATCHES_BEFORE_INVESTIGATING:
                     self.try_ensure_good_match_counter()
                 return False
+            if pre2 is not None and block.walk_index >= 0:
+                if pre2[4][block.walk_index]:
+                    continue  # too-popular bin (match_block None)
+                matches = None
+                use2 = True
+                break
             if self._prefetched is not None and block.walk_index >= 0:
                 matches = self._prefetched[block.walk_index]
             else:
@@ -579,26 +671,45 @@ class CountingHashBlockPath:
             break
 
         self.history.append(block)
-        num_block_matches = len(matches)
-        if num_block_matches:
-            seq_idx, offsets = self.seq_db.decode_positions(matches)
-            concat = self.seq_db.concatenated_codes()
-            for k in range(num_block_matches):
-                ref_seq = self.seq_db.get_sequence(int(seq_idx[k]))
-                ref_start = int(offsets[k])
-                if not self._passes_collision_check(block, ref_seq, ref_start):
-                    continue
-                if ref_seq.complemented_from is not None:
-                    forward_ref = ref_seq.complemented_from
-                    rev_query_block_start = len(self.query) - block.end
-                    rev_ref_block_start = len(ref_seq) - (ref_start + block.length)
-                    offset = rev_ref_block_start - rev_query_block_start
-                    full_match = SequenceMatch(
-                        self.reverse_complement_query, forward_ref, offset
-                    )
-                else:
-                    full_match = SequenceMatch(self.query, ref_seq, ref_start - block.start)
-                self._update_matches(full_match, block, num_block_matches)
+        if use2:
+            # fully-resolved prefetch: replay the collision-filtered,
+            # strand-folded rows (bit-identical to the branch below —
+            # tests/test_native_walk.py::test_fold_and_filter_matches_python)
+            fold_idx, fold_off, is_rc, bounds, _ = pre2
+            w = block.walk_index
+            raw = self._prefetched[w]
+            num_block_matches = 0 if raw is None else int(raw.shape[0])
+            for k in range(int(bounds[w]), int(bounds[w + 1])):
+                ref_b = self.seq_db.get_sequence(int(fold_idx[k]))
+                seq_a = self.reverse_complement_query if is_rc[k] else self.query
+                self._update_matches(
+                    SequenceMatch(seq_a, ref_b, int(fold_off[k])),
+                    block,
+                    num_block_matches,
+                )
+        else:
+            num_block_matches = len(matches)
+            if num_block_matches:
+                seq_idx, offsets = self.seq_db.decode_positions(matches)
+                concat = self.seq_db.concatenated_codes()
+                for k in range(num_block_matches):
+                    ref_seq = self.seq_db.get_sequence(int(seq_idx[k]))
+                    ref_start = int(offsets[k])
+                    if not self._passes_collision_check(block, ref_seq, ref_start):
+                        continue
+                    if ref_seq.complemented_from is not None:
+                        forward_ref = ref_seq.complemented_from
+                        rev_query_block_start = len(self.query) - block.end
+                        rev_ref_block_start = len(ref_seq) - (ref_start + block.length)
+                        offset = rev_ref_block_start - rev_query_block_start
+                        full_match = SequenceMatch(
+                            self.reverse_complement_query, forward_ref, offset
+                        )
+                    else:
+                        full_match = SequenceMatch(
+                            self.query, ref_seq, ref_start - block.start
+                        )
+                    self._update_matches(full_match, block, num_block_matches)
 
         if block.start >= self.max_nonoverlapping_block_visited:
             self.max_nonoverlapping_block_visited = block.end

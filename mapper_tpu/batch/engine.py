@@ -646,6 +646,10 @@ class BatchAligner:
                 np.ones(rows_arr.shape[0], dtype=np.float32),
             )
 
+        if deferred:
+            deferred = self._align_paired_deferred_native(
+                queries, components, table, combos, deferred, results
+            )
         if len(deferred) >= 8 and os.environ.get("MAPPER_TPU_EXACT_THREADS", "1") != "0":
             # the per-pair exact drivers are independent (own aligner, own
             # memo; shared caches are GIL-atomic idempotent dict fills) and
@@ -793,6 +797,160 @@ class BatchAligner:
         from mapper_tpu.align.blocks import SequenceAlignment
 
         return SequenceAlignment([block], reversed_flag, penalty, penalty)
+
+    def _align_paired_deferred_native(
+        self, queries, components, table, combos, deferred, results
+    ):
+        """Run the deferred pairs' exact combo drivers natively in one batched
+        OpenMP call (dp.cpp::mapper_pair_driver_batch — the round-5 wavefront
+        fix; VERDICT r4 #1).  Fills `results` for pairs the native driver
+        decides (ok -> choices, worker -> None) and returns the pairs that
+        still need the Python driver (overlap-regime combos, native DP bail,
+        or output caps; the Python driver is the oracle and handles them
+        identically — differential test tests/test_native_pair_driver.py)."""
+        if (
+            os.environ.get("MAPPER_TPU_NATIVE", "1") == "0"
+            or os.environ.get("MAPPER_TPU_NATIVE_PAIR", "1") == "0"
+        ):
+            return deferred
+        from mapper_tpu.native import native_pair_driver_batch
+
+        p = self.parameters
+        pair_of = combos["pair"]
+        # pair_of is np.repeat(arange, counts): each pair's combos are one
+        # contiguous ascending range
+        darr = np.asarray(deferred, dtype=np.int64)
+        starts = np.searchsorted(pair_of, darr, side="left")
+        ends = np.searchsorted(pair_of, darr, side="right")
+        todo = [
+            (pi, int(s), int(e))
+            for pi, s, e in zip(deferred, starts, ends)
+            if e > s
+        ]
+        # empty-combo pairs: the Python driver returns None (sequential
+        # worker); results[pi] is already None
+        if not todo:
+            return []
+        npairs = len(todo)
+        mate_len = np.empty(2 * npairs, dtype=np.int32)
+        mate_off = np.empty(2 * npairs, dtype=np.int64)
+        mate_parts = []
+        expected_inner = np.empty(npairs, dtype=np.float64)
+        spacing_dev = np.empty(npairs, dtype=np.float64)
+        combo_bounds = np.zeros(npairs + 1, dtype=np.int64)
+        row0_parts = []
+        row1_parts = []
+        off = 0
+        for i, (pi, s, e) in enumerate(todo):
+            q = queries[pi]
+            for ci in range(2):
+                codes = q.get_sequence(ci).codes
+                mate_parts.append(codes)
+                mate_off[2 * i + ci] = off
+                mate_len[2 * i + ci] = codes.shape[0]
+                off += codes.shape[0]
+            expected_inner[i] = q.get_expected_inner_distance()
+            spacing_dev[i] = q.get_spacing_deviation_per_unit_penalty()
+            combo_bounds[i + 1] = combo_bounds[i] + (e - s)
+            row0_parts.append(combos["row0"][s:e])
+            row1_parts.append(combos["row1"][s:e])
+
+        ref_lens = getattr(self, "_ref_lens_arr", None)
+        if ref_lens is None:
+            ref_lens = np.diff(self.seq_db.starts).astype(np.int64)
+            self._ref_lens_arr = ref_lens
+
+        out = native_pair_driver_batch(
+            self.concat,
+            self.seq_db.starts,
+            ref_lens,
+            np.concatenate(mate_parts),
+            mate_off,
+            mate_len,
+            expected_inner,
+            spacing_dev,
+            combo_bounds,
+            np.concatenate(row0_parts),
+            np.concatenate(row1_parts),
+            table.offset,
+            table.ref_seq_index,
+            table.reversed_,
+            basepairs.COMPLEMENT_TABLE,
+            p,
+        )
+        if out is None:
+            return deferred
+
+        from mapper_tpu.align.blocks import SequenceAlignment
+
+        leftover = []
+        maxc = out["max_choices"]
+        maxb = out["max_blocks_out"]
+        for i, (pi, s, e) in enumerate(todo):
+            st = int(out["status"][i])
+            if st == 2:
+                leftover.append(pi)
+                continue
+            if st == 1:
+                results[pi] = None  # sequential worker owns the pair
+                continue
+            query = queries[pi]
+            choices = []
+            for j in range(int(out["nchoices"][i])):
+                gi = i * maxc + j
+                comps = []
+                for ci in range(2):
+                    gc = gi * 2 + ci
+                    s_flag = bool(out["comp_s"][gc])
+                    base = components[2 * pi + ci]
+                    # seq_a identity: base is the forward mate for ci=0 and
+                    # the RC'd mate for ci=1 (engine pairing convention)
+                    seq_a = base if s_flag == (ci == 1) else base.reverse_complement()
+                    ref = self.seq_db.get_sequence(int(out["comp_ref"][gc]))
+                    nb = int(out["comp_nb"][gc])
+                    rows = out["blocks"][gc * maxb * 4 : (gc * maxb + nb) * 4]
+                    sections = [
+                        AlignedBlock(
+                            seq_a,
+                            ref,
+                            int(rows[4 * b]),
+                            int(rows[4 * b + 1]),
+                            int(rows[4 * b + 2]),
+                            int(rows[4 * b + 3]),
+                        )
+                        for b in range(nb)
+                    ]
+                    comps.append(
+                        SequenceAlignment(
+                            sections,
+                            s_flag,
+                            float(out["comp_total"][gc]),
+                            float(out["comp_aligned"][gc]),
+                        )
+                    )
+                choice = QueryAlignment(
+                    comps,
+                    float(out["spacing"][gi]),
+                    1.0,
+                    0.0,
+                    float(out["total"][gi]),
+                    int(out["inner"][gi]),
+                )
+                # ancestral -> original coordinate rewrite
+                computed = choice.get_sequence_b()
+                original = self.reference_index.get_original_sequence(computed)
+                if original is not computed:
+                    choice.put_sequence_b(original)
+                choices.append(choice)
+            if len(choices) > p.max_num_matches:
+                result = QueryAlignments.unaligned(query.get_sequences())
+            else:
+                result = QueryAlignments.single_component(
+                    query.get_sequences(), choices
+                )
+            result.via_exact = True
+            results[pi] = result
+        return leftover
 
     def _align_paired_pair_exact(self, query, components, table, combos, pair_index: int):
         result = self._align_paired_pair_exact_inner(

@@ -137,6 +137,23 @@ def get_library():
                 p_i8, p_i32, p_i32, ctypes.c_int32,  # status, nblocks, blocks, max_blocks_per
                 p_f64, p_f64,        # total, aligned
             ]
+            lib.mapper_pair_driver_batch.restype = None
+            lib.mapper_pair_driver_batch.argtypes = [
+                p_u8, p_i64, p_i64,   # concat, ref_starts, ref_lens
+                p_u8, p_i64, p_i32,   # mate_codes, mate_off, mate_len
+                p_f64, p_f64,         # expected_inner, spacing_dev
+                p_i64, p_i64, p_i64,  # combo_bounds, combo_row0, combo_row1
+                p_i64, p_i32, p_u8,   # row_off, row_ref, row_rev
+                p_u8,                 # complement16
+                ctypes.c_int64,       # npairs
+                p_f64, ctypes.c_double, ctypes.c_double,  # params8, rate, span
+                ctypes.c_int32, ctypes.c_int32,  # max_choices, max_blocks_out
+                p_i8, p_i32,          # out_status, out_nchoices
+                p_f64, p_f64, p_i64,  # out_spacing, out_total, out_inner
+                p_u8, p_i32,          # out_comp_s, out_comp_ref
+                p_f64, p_f64, p_i32,  # out_comp_total, out_comp_aligned, out_comp_nb
+                p_i32,                # out_blocks
+            ]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -210,6 +227,13 @@ def get_candidates_library():
                 p_u8, i64, i32, i32, i32, i32,  # codes, n, min_interesting, lo, hi, gapmers
                 i64, i64,                  # keep_lo, keep_hi (window-local)
                 p_i32, p_i32, p_i32, p_u8, p_u8, p_i64, p_i32, p_u8, i64,
+            ]
+            lib.mapper_collision_batch.restype = None
+            lib.mapper_collision_batch.argtypes = [
+                p_u8, i64, p_u8,           # q, qn, concat
+                p_i64, p_i64, p_i64,       # ref_global, ref_off, ref_len
+                p_i64, p_i64, p_i64,       # bstart, blen, bnbp
+                i64, p_u8,                 # k, out_ok
             ]
             lib.mapper_generate_candidates.restype = i64
             lib.mapper_generate_candidates.argtypes = [
@@ -825,6 +849,51 @@ def native_query_walk(codes: np.ndarray, database):
         return out[:r]
 
 
+def native_collision_batch(
+    query_codes: np.ndarray,
+    concat: np.ndarray,
+    ref_global: np.ndarray,
+    ref_off: np.ndarray,
+    ref_len: np.ndarray,
+    bstart: np.ndarray,
+    blen: np.ndarray,
+    bnbp: np.ndarray,
+):
+    """Batched +-20bp hash-collision sampling check
+    (candidates._passes_collision_check is the oracle).  Returns uint8[k]
+    pass flags, or None when the library is unavailable."""
+    lib = get_candidates_library()
+    if lib is None or not hasattr(lib, "mapper_collision_batch"):
+        return None
+    k = int(ref_global.shape[0])
+    c = np.ascontiguousarray
+    query_codes = c(query_codes, dtype=np.uint8)
+    concat = c(concat, dtype=np.uint8)
+    ref_global = c(ref_global, dtype=np.int64)
+    ref_off = c(ref_off, dtype=np.int64)
+    ref_len = c(ref_len, dtype=np.int64)
+    bstart = c(bstart, dtype=np.int64)
+    blen = c(blen, dtype=np.int64)
+    bnbp = c(bnbp, dtype=np.int64)
+    out = np.empty(k, dtype=np.uint8)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.mapper_collision_batch(
+        query_codes.ctypes.data_as(p_u8),
+        query_codes.shape[0],
+        concat.ctypes.data_as(p_u8),
+        ref_global.ctypes.data_as(p_i64),
+        ref_off.ctypes.data_as(p_i64),
+        ref_len.ctypes.data_as(p_i64),
+        bstart.ctypes.data_as(p_i64),
+        blen.ctypes.data_as(p_i64),
+        bnbp.ctypes.data_as(p_i64),
+        k,
+        out.ctypes.data_as(p_u8),
+    )
+    return out
+
+
 def native_local_align_one(
     query_codes: np.ndarray,
     ref_codes: np.ndarray,
@@ -965,3 +1034,105 @@ def native_local_align_batch(
         aligned.ctypes.data_as(p_f64),
     )
     return status, nblocks, blocks, total, aligned
+
+
+def native_pair_driver_batch(
+    concat: np.ndarray,
+    ref_starts: np.ndarray,
+    ref_lens: np.ndarray,
+    mate_codes: np.ndarray,
+    mate_off: np.ndarray,
+    mate_len: np.ndarray,
+    expected_inner: np.ndarray,
+    spacing_dev: np.ndarray,
+    combo_bounds: np.ndarray,
+    combo_row0: np.ndarray,
+    combo_row1: np.ndarray,
+    row_off: np.ndarray,
+    row_ref: np.ndarray,
+    row_rev: np.ndarray,
+    complement16: np.ndarray,
+    params,
+    max_choices: int = 16,
+    max_blocks_out: int = 16,
+):
+    """Batched exact paired-combo driver (engine._align_paired_pair_exact_inner
+    in C++, OpenMP across pairs).  Returns a dict of output arrays or None
+    when the library is unavailable.  Per pair: status 0 = ok with
+    nchoices[i] choices, 1 = sequential worker owns the pair, 2 = fall back
+    to the Python driver."""
+    lib = get_library()
+    if lib is None or not hasattr(lib, "mapper_pair_driver_batch"):
+        return None
+    npairs = int(expected_inner.shape[0])
+    c = np.ascontiguousarray
+    concat = c(concat, dtype=np.uint8)
+    ref_starts = c(ref_starts, dtype=np.int64)
+    ref_lens = c(ref_lens, dtype=np.int64)
+    mate_codes = c(mate_codes, dtype=np.uint8)
+    mate_off = c(mate_off, dtype=np.int64)
+    mate_len = c(mate_len, dtype=np.int32)
+    expected_inner = c(expected_inner, dtype=np.float64)
+    spacing_dev = c(spacing_dev, dtype=np.float64)
+    combo_bounds = c(combo_bounds, dtype=np.int64)
+    combo_row0 = c(combo_row0, dtype=np.int64)
+    combo_row1 = c(combo_row1, dtype=np.int64)
+    row_off = c(row_off, dtype=np.int64)
+    row_ref = c(row_ref, dtype=np.int32)
+    row_rev = c(row_rev, dtype=np.uint8)
+    complement16 = c(complement16, dtype=np.uint8)
+    out = {
+        "status": np.empty(npairs, dtype=np.int8),
+        "nchoices": np.empty(npairs, dtype=np.int32),
+        "spacing": np.empty(npairs * max_choices, dtype=np.float64),
+        "total": np.empty(npairs * max_choices, dtype=np.float64),
+        "inner": np.empty(npairs * max_choices, dtype=np.int64),
+        "comp_s": np.empty(npairs * max_choices * 2, dtype=np.uint8),
+        "comp_ref": np.empty(npairs * max_choices * 2, dtype=np.int32),
+        "comp_total": np.empty(npairs * max_choices * 2, dtype=np.float64),
+        "comp_aligned": np.empty(npairs * max_choices * 2, dtype=np.float64),
+        "comp_nb": np.empty(npairs * max_choices * 2, dtype=np.int32),
+        "blocks": np.empty(npairs * max_choices * 2 * max_blocks_out * 4, dtype=np.int32),
+    }
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i8 = ctypes.POINTER(ctypes.c_int8)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_f64 = ctypes.POINTER(ctypes.c_double)
+    lib.mapper_pair_driver_batch(
+        concat.ctypes.data_as(p_u8),
+        ref_starts.ctypes.data_as(p_i64),
+        ref_lens.ctypes.data_as(p_i64),
+        mate_codes.ctypes.data_as(p_u8),
+        mate_off.ctypes.data_as(p_i64),
+        mate_len.ctypes.data_as(p_i32),
+        expected_inner.ctypes.data_as(p_f64),
+        spacing_dev.ctypes.data_as(p_f64),
+        combo_bounds.ctypes.data_as(p_i64),
+        combo_row0.ctypes.data_as(p_i64),
+        combo_row1.ctypes.data_as(p_i64),
+        row_off.ctypes.data_as(p_i64),
+        row_ref.ctypes.data_as(p_i32),
+        row_rev.ctypes.data_as(p_u8),
+        complement16.ctypes.data_as(p_u8),
+        npairs,
+        _params_array(params).ctypes.data_as(p_f64),
+        float(params.max_error_rate),
+        float(params.max_penalty_span),
+        max_choices,
+        max_blocks_out,
+        out["status"].ctypes.data_as(p_i8),
+        out["nchoices"].ctypes.data_as(p_i32),
+        out["spacing"].ctypes.data_as(p_f64),
+        out["total"].ctypes.data_as(p_f64),
+        out["inner"].ctypes.data_as(p_i64),
+        out["comp_s"].ctypes.data_as(p_u8),
+        out["comp_ref"].ctypes.data_as(p_i32),
+        out["comp_total"].ctypes.data_as(p_f64),
+        out["comp_aligned"].ctypes.data_as(p_f64),
+        out["comp_nb"].ctypes.data_as(p_i32),
+        out["blocks"].ctypes.data_as(p_i32),
+    )
+    out["max_choices"] = max_choices
+    out["max_blocks_out"] = max_blocks_out
+    return out

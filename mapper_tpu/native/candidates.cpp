@@ -1722,3 +1722,43 @@ extern "C" int64_t mapper_scalar_entries(
   }
   return w;
 }
+
+// ---------------------------------------------------------------------------
+// Batched hash-collision sampling check (Counting_HashBlockPath.java:95-153;
+// candidates.py::_passes_collision_check is the Python oracle): for each
+// (walked block, index match) pair, sample +-20 bp around the block and
+// reject when mismatches outnumber matches.  One call per query covers every
+// match of the prefetched walk.
+extern "C" void mapper_collision_batch(
+    const uint8_t* q, int64_t qn, const uint8_t* concat,
+    const int64_t* ref_global,  // concat index of the match start
+    const int64_t* ref_off,     // match offset within its ref sequence
+    const int64_t* ref_len,     // ref sequence length
+    const int64_t* bstart, const int64_t* blen, const int64_t* bnbp,
+    int64_t k, uint8_t* out_ok) {
+  for (int64_t i = 0; i < k; i++) {
+    const int64_t bs = bstart[i];
+    const int64_t right = bs + blen[i] - 1;
+    const uint8_t* r = concat + (ref_global[i] - ref_off[i]);
+    const int64_t rn = ref_len[i];
+    const int64_t rs = ref_off[i];
+    int64_t n_match = 0, n_mismatch = 0;
+    for (int d = 1; d < 20; d++) {
+      for (int t = 0; t < 2; t++) {
+        const int64_t qi = t == 0 ? bs - d : right + d;
+        if (qi >= 0 && qi < qn) {
+          const int64_t ri = qi - bs + rs;
+          if (ri >= 0 && ri < rn) {
+            if ((q[qi] & r[ri]) == 0)
+              n_mismatch++;
+            else
+              n_match++;
+          }
+        }
+      }
+      if (n_match < n_mismatch) break;
+      if (n_match >= n_mismatch + bnbp[i]) break;
+    }
+    out_ok[i] = n_mismatch <= n_match ? 1 : 0;
+  }
+}

@@ -25,7 +25,11 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <array>
 #include <limits>
+#include <map>
+#include <set>
+#include <string>
 
 namespace {
 
@@ -586,6 +590,388 @@ int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
   return gapped_nb;  // >= 1 means gapped with this many blocks
 }
 
+// ---------------------------------------------------------------------------
+// Exact paired-combo driver (batch/engine.py::_align_paired_pair_exact_inner
+// in C++, OpenMP across pairs — the round-5 wavefront fix for hard-PE).
+//
+// Scope: the NON-OVERLAP regime only.  Any combo whose inner distance goes
+// negative (in the base run, a probe re-enumeration, or the replay check)
+// needs the overlap join/split + duplicationBonus/overlapMultiplier algebra
+// (QueryMatch_Aligner.java:274-405,464-520) and the whole pair bails to the
+// Python oracle (status PYBAIL).  Everything else — the budget re-allocation
+// loop (java:207-239), spacing penalty (java:530-546), the tightening
+// MaxErrorRate + Max_PenaltySpan collection (java:35-54,71-92), and the
+// batch engine's offset-invariance gate (alt probes, pair_inputs_replay,
+// rows_reproduce, re-enumeration compare) — is replicated float-for-float;
+// the Python driver is the differential-test oracle
+// (tests/test_native_pair_driver.py).
+
+namespace pairdrv {
+
+constexpr int64_t kIntMax = 2147483647;  // candidates._INT_MAX
+
+struct CompRes {
+  int8_t kind;  // -1 none, 0 some
+  double total = 0.0, aligned = 0.0;
+  std::vector<Block> blocks;  // absolute sb
+};
+
+struct Choice {
+  double spacing, total;
+  int64_t inner;
+  const CompRes* comp[2];
+  uint8_t s[2];
+  int32_t ref[2];
+};
+
+struct Override {
+  int ci;
+  int64_t row;
+  int64_t alt;
+};
+
+struct AlignState {
+  double cur_rate;
+  double best_pen = 2147483647.0;  // float(2**31 - 1)
+  std::vector<Choice> good;
+};
+
+struct PairCtx {
+  const uint8_t* fwd[2];
+  std::vector<uint8_t> rc[2];
+  int len[2];
+  int64_t total_len;
+  double expected, dev;
+  const int64_t* crow0;
+  const int64_t* crow1;
+  int64_t ncombos;
+  const int64_t* row_off;
+  const int32_t* row_ref;
+  const uint8_t* row_rev;
+  const uint8_t* concat;
+  const int64_t* ref_starts;
+  const int64_t* ref_lens;
+  const Params* p;
+  const PenaltyTable* tbl;
+  double R, span;
+  std::map<std::array<uint64_t, 3>, CompRes> memo;
+  DpScratch* scratch;
+  std::vector<int32_t> blkbuf;
+  bool bail = false;
+
+  const uint8_t* codes(int ci, bool s) const {
+    return s ? rc[ci].data() : fwd[ci];
+  }
+
+  double dru(double a, double b) const {  // divide_round_up
+    double r = a / b;
+    if (r * b < a) r = std::nextafter(r, std::numeric_limits<double>::infinity());
+    return r;
+  }
+
+  double spacing_pen(double inner) const {  // _compute_spacing_penalty
+    if (inner < 0.0 && inner > -static_cast<double>(total_len)) return 0.0;
+    return std::trunc(std::fabs(inner - expected) / dev);
+  }
+
+  struct MateRef {
+    bool s;
+    int32_t ref;
+    int64_t off;
+    int64_t row;
+  };
+
+  MateRef mate_ref(int64_t c, int ci, const std::vector<Override>& ov) const {
+    MateRef m;
+    m.row = (ci == 0 ? crow0 : crow1)[c];
+    m.s = (row_rev[m.row] != 0) != (ci == 1);
+    m.ref = row_ref[m.row];
+    m.off = row_off[m.row];
+    for (const Override& o : ov)
+      if (o.ci == ci && o.row == m.row) {
+        m.off = o.alt;
+        break;
+      }
+    return m;
+  }
+
+  // QueryMatch.get_total_distance_between_components under overrides
+  // (candidates.py:790-803 == engine.py::combo_inner)
+  int64_t combo_inner(int64_t c, const std::vector<Override>& ov) const {
+    const MateRef m0 = mate_ref(c, 0, ov);
+    const MateRef m1 = mate_ref(c, 1, ov);
+    if (m0.ref != m1.ref) return kIntMax;
+    const int64_t L = ref_lens[m0.ref];
+    const int64_t s0 = std::max<int64_t>(0, m0.off);
+    const int64_t e0 = std::min<int64_t>(m0.off + len[0], L);
+    const int64_t s1 = std::max<int64_t>(0, m1.off);
+    const int64_t e1 = std::min<int64_t>(m1.off + len[1], L);
+    return m0.s ? (s0 - e1) : (s1 - e0);
+  }
+
+  // query_aligner._align_match (memoized) -> dp.py::local_align
+  const CompRes& align_match(int ci, bool s, int32_t ref, int64_t off, double rate) {
+    uint64_t rate_bits;
+    std::memcpy(&rate_bits, &rate, 8);
+    const std::array<uint64_t, 3> key = {
+        static_cast<uint64_t>((ci << 1) | (s ? 1 : 0)),
+        (static_cast<uint64_t>(static_cast<uint32_t>(ref)) << 32) |
+            static_cast<uint32_t>(static_cast<int32_t>(off)),
+        rate_bits};
+    auto it = memo.find(key);
+    if (it != memo.end()) return it->second;
+    CompRes res;
+    res.kind = -1;
+    const int qn = len[ci];
+    const double mi = qn * rate;
+    const int max_indel = static_cast<int>(
+        std::max(0.0, (mi - p->del_start) / p->del_ext));
+    const int64_t L = ref_lens[ref];
+    const int64_t rs = std::max<int64_t>(0, off - max_indel);
+    const int64_t re = std::min<int64_t>(off + qn + max_indel, L);
+    if (re > rs) {
+      const int wn = static_cast<int>(re - rs);
+      if (blkbuf.size() < static_cast<size_t>(qn + wn + 4) * 4)
+        blkbuf.resize(static_cast<size_t>(qn + wn + 4) * 4);
+      double tot = 0.0, al = 0.0;
+      const int st = local_align_one(
+          codes(ci, s), qn, concat + ref_starts[ref] + rs, wn, rs,
+          static_cast<int>(off - rs), rs == 0, re == L, /*confident=*/true,
+          rate, *p, *tbl, blkbuf.data(), qn + wn + 4, &tot, &al, *scratch);
+      if (st == -2) {
+        bail = true;
+      } else if (st >= 0) {
+        res.kind = 0;
+        res.total = tot;
+        res.aligned = al;
+        const int nb = st == 0 ? 1 : st;
+        res.blocks.reserve(nb);
+        for (int b = 0; b < nb; b++) {
+          const int32_t* row = blkbuf.data() + static_cast<size_t>(b) * 4;
+          res.blocks.push_back(
+              Block{row[0], static_cast<int>(rs) + row[1], row[2], row[3]});
+        }
+      }
+    }
+    return memo.emplace(key, std::move(res)).first->second;
+  }
+
+  // QueryMatchAligner._do_align for one combo, non-overlap regime
+  bool do_align(int64_t c, const std::vector<Override>& ov, AlignState& st,
+                Choice* out) {
+    const int64_t spacing_int = combo_inner(c, ov);
+    const double inner = static_cast<double>(spacing_int);
+    const double spag = spacing_pen(inner);
+    const double max_allowed = std::nextafter(
+        total_len * st.cur_rate, std::numeric_limits<double>::infinity());
+    if (inner > 0.0) {
+      // priority is 0 in this driver (QueryMatch(matches, 0, ...))
+      if (spag > max_allowed) return false;
+    }
+    if (inner < 0.0) {  // overlap regime: join/split + bonus algebra
+      bail = true;
+      return false;
+    }
+    const double max_total = max_allowed - spag;
+    const MateRef m[2] = {mate_ref(c, 0, ov), mate_ref(c, 1, ov)};
+    const CompRes* results[2] = {nullptr, nullptr};
+    bool remaining[2] = {true, true};
+    double comps_pen = 0.0;
+    int num_remaining = 2;
+    // hint_forward_order=False -> indices [1, 0]
+    static const int kIndices[2] = {1, 0};
+    while (true) {
+      const int64_t num_bases =
+          (remaining[0] ? len[0] : 0) + (remaining[1] ? len[1] : 0);
+      if (num_bases < 1) break;
+      const double avg = dru(max_total - comps_pen, static_cast<double>(num_bases));
+      bool found = false;
+      for (int k = 0; k < 2; k++) {
+        const int i = kIndices[k];
+        if (!remaining[i]) continue;
+        const CompRes& r = align_match(i, m[i].s, m[i].ref, m[i].off, avg);
+        if (bail) return false;
+        if (r.kind == 0) {
+          results[i] = &r;
+          remaining[i] = false;
+          comps_pen += r.total;
+          num_remaining--;
+          found = true;
+          break;
+        }
+      }
+      if (num_remaining < 1) break;
+      if (!found) return false;
+    }
+    const double total_used = comps_pen + spag;
+    if (total_used > max_allowed) return false;
+    // actual inner distance (QueryMatch_Aligner.java:261-265, forward-folded)
+    int64_t actual_inner;
+    if (m[0].s) {
+      actual_inner = results[0]->blocks.front().sb -
+                     (results[1]->blocks.back().sb + results[1]->blocks.back().lb);
+    } else {
+      actual_inner = results[1]->blocks.front().sb -
+                     (results[0]->blocks.back().sb + results[0]->blocks.back().lb);
+    }
+    out->spacing = spag;
+    out->total = total_used;
+    out->inner = actual_inner;
+    for (int ci = 0; ci < 2; ci++) {
+      out->comp[ci] = results[ci];
+      out->s[ci] = m[ci].s ? 1 : 0;
+      out->ref[ci] = m[ci].ref;
+    }
+    return true;
+  }
+
+  // QueryMatchAligner.align wrapper (tightening MaxErrorRate)
+  void align_combo(int64_t c, const std::vector<Override>& ov, AlignState& st) {
+    Choice ch;
+    if (!do_align(c, ov, st, &ch)) return;
+    if (ch.total < st.best_pen) {
+      st.best_pen = ch.total;
+      const double new_rate = dru(ch.total + span, static_cast<double>(total_len));
+      if (new_rate < st.cur_rate) st.cur_rate = new_rate;
+    }
+    st.good.push_back(ch);
+  }
+
+  static void comp_key_append(std::string& s, const Choice& ch, int ci) {
+    // SequenceAlignment.content_key: (id(seq_b), reversed, blocks)
+    s.append(reinterpret_cast<const char*>(&ch.ref[ci]), 4);
+    s.push_back(static_cast<char>(ch.s[ci]));
+    const auto& blocks = ch.comp[ci]->blocks;
+    const uint32_t nb = static_cast<uint32_t>(blocks.size());
+    s.append(reinterpret_cast<const char*>(&nb), 4);
+    for (const Block& b : blocks)
+      s.append(reinterpret_cast<const char*>(&b), sizeof(Block));
+  }
+
+  static std::string choice_key(const Choice& ch) {
+    std::string s;
+    comp_key_append(s, ch, 0);
+    comp_key_append(s, ch, 1);
+    return s;
+  }
+
+  // aligner.get_best_alignments (cutoff + first-wins content dedup)
+  std::vector<Choice> get_best(const AlignState& st) const {
+    const double max_anywhere = total_len * st.cur_rate;
+    const double cutoff = std::min(st.best_pen + span, max_anywhere);
+    std::vector<Choice> best;
+    for (const Choice& ch : st.good)
+      if (ch.total <= cutoff) best.push_back(ch);
+    if (best.size() <= 1) return best;
+    std::vector<std::string> seen;
+    std::vector<Choice> uniq;
+    for (const Choice& ch : best) {
+      std::string k = choice_key(ch);
+      bool dup = false;
+      for (const std::string& s : seen)
+        if (s == k) {
+          dup = true;
+          break;
+        }
+      if (!dup) {
+        seen.push_back(std::move(k));
+        uniq.push_back(ch);
+      }
+    }
+    return uniq;
+  }
+
+  // engine.py::run(overrides)
+  std::vector<Choice> run(const std::vector<Override>& ov) {
+    AlignState st;
+    st.cur_rate = R;
+    for (int64_t c = 0; c < ncombos; c++) {
+      align_combo(c, ov, st);
+      if (bail) return {};
+    }
+    return get_best(st);
+  }
+
+  // engine.py::summarize: sorted (penalty, spacing, comps content key)
+  static std::vector<std::string> summarize(const std::vector<Choice>& choices) {
+    std::vector<std::string> out;
+    out.reserve(choices.size());
+    for (const Choice& ch : choices) {
+      std::string s;
+      s.append(reinterpret_cast<const char*>(&ch.total), 8);
+      s.append(reinterpret_cast<const char*>(&ch.spacing), 8);
+      s += choice_key(ch);
+      out.push_back(std::move(s));
+    }
+    std::sort(out.begin(), out.end());
+    return out;
+  }
+
+  bool pair_inputs_replay(const std::vector<Override>& ov) const {
+    static const std::vector<Override> kNone;
+    for (int64_t c = 0; c < ncombos; c++) {
+      bool affected = false;
+      for (const Override& o : ov)
+        if ((o.ci == 0 && o.row == crow0[c]) || (o.ci == 1 && o.row == crow1[c])) {
+          affected = true;
+          break;
+        }
+      if (!affected) continue;
+      const int64_t inner_base = combo_inner(c, kNone);
+      const int64_t inner_alt = combo_inner(c, ov);
+      if (inner_base < 0 || inner_alt < 0) return false;
+      if ((inner_base > 0) != (inner_alt > 0)) return false;
+      if (spacing_pen(static_cast<double>(inner_base)) !=
+          spacing_pen(static_cast<double>(inner_alt)))
+        return false;
+    }
+    return true;
+  }
+
+  static bool same_result(const CompRes& a, const CompRes& b) {
+    if ((a.kind == -1) != (b.kind == -1)) return false;
+    if (a.kind == -1) return true;
+    // content_key equality: same (seq_a, ref) by construction, so blocks;
+    // plus penalty and aligned_penalty
+    if (a.total != b.total || a.aligned != b.aligned) return false;
+    if (a.blocks.size() != b.blocks.size()) return false;
+    for (size_t i = 0; i < a.blocks.size(); i++) {
+      const Block &x = a.blocks[i], &y = b.blocks[i];
+      if (x.sa != y.sa || x.sb != y.sb || x.la != y.la || x.lb != y.lb)
+        return false;
+    }
+    return true;
+  }
+
+  bool rows_reproduce(
+      const std::vector<Override>& ov,
+      const std::map<std::array<uint64_t, 2>, std::vector<double>>& base_keys) {
+    for (const Override& o : ov) {
+      const bool s = (row_rev[o.row] != 0) != (o.ci == 1);
+      const int32_t ref = row_ref[o.row];
+      const int64_t voted = row_off[o.row];
+      const std::array<uint64_t, 2> bk = {
+          static_cast<uint64_t>((o.ci << 1) | (s ? 1 : 0)),
+          (static_cast<uint64_t>(static_cast<uint32_t>(ref)) << 32) |
+              static_cast<uint32_t>(static_cast<int32_t>(voted))};
+      auto it = base_keys.find(bk);
+      if (it == base_keys.end() || it->second.empty()) return false;
+      for (double rate : it->second) {
+        const CompRes& alt_res = align_match(o.ci, s, ref, o.alt, rate);
+        if (bail) return false;
+        uint64_t rate_bits;
+        std::memcpy(&rate_bits, &rate, 8);
+        const std::array<uint64_t, 3> base_key = {bk[0], bk[1], rate_bits};
+        const CompRes& base_res = memo.at(base_key);
+        if (!same_result(base_res, alt_res)) return false;
+      }
+    }
+    return true;
+  }
+};
+
+}  // namespace pairdrv
+
 }  // namespace
 
 extern "C" {
@@ -643,6 +1029,183 @@ int mapper_local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
 //                  the Python path;
 //   out_nblocks[i] blocks at out_blocks[i*max_blocks_per*4 ...], local
 //   coordinates, start->goal order; out_total/out_aligned penalties.
+// Exact paired-combo driver over a batch of deferred pairs (see the pairdrv
+// namespace comment).  Per pair i: mates at mate_codes[mate_off[2i..2i+1]]
+// (forward 4-bit codes; reverse complements are derived via complement16),
+// combos [combo_bounds[i], combo_bounds[i+1]) indexing combo_row0/row1,
+// which index the full candidate-table arrays row_off/row_ref/row_rev.
+// out_status[i]: 0 = ok (out_nchoices[i] choices written), 1 = sequential
+// worker owns the pair (no alignments / gate tie), 2 = fall back to the
+// Python driver (overlap regime, native DP bail, or output caps exceeded).
+void mapper_pair_driver_batch(
+    const uint8_t* concat, const int64_t* ref_starts, const int64_t* ref_lens,
+    const uint8_t* mate_codes, const int64_t* mate_off, const int32_t* mate_len,
+    const double* expected_inner, const double* spacing_dev,
+    const int64_t* combo_bounds, const int64_t* combo_row0,
+    const int64_t* combo_row1, const int64_t* row_off, const int32_t* row_ref,
+    const uint8_t* row_rev, const uint8_t* complement16, int64_t npairs,
+    const double* params8, double max_error_rate, double max_penalty_span,
+    int32_t max_choices, int32_t max_blocks_out, int8_t* out_status,
+    int32_t* out_nchoices, double* out_spacing, double* out_total,
+    int64_t* out_inner, uint8_t* out_comp_s, int32_t* out_comp_ref,
+    double* out_comp_total, double* out_comp_aligned, int32_t* out_comp_nb,
+    int32_t* out_blocks) {
+  Params p;
+  std::memcpy(&p, params8, sizeof(Params));
+  const PenaltyTable tbl(p);
+#pragma omp parallel
+  {
+    DpScratch scratch;
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t i = 0; i < npairs; i++) {
+      pairdrv::PairCtx ctx;
+      for (int ci = 0; ci < 2; ci++) {
+        const int n = mate_len[2 * i + ci];
+        ctx.fwd[ci] = mate_codes + mate_off[2 * i + ci];
+        ctx.len[ci] = n;
+        ctx.rc[ci].resize(n);
+        for (int b = 0; b < n; b++)
+          ctx.rc[ci][b] = complement16[ctx.fwd[ci][n - 1 - b] & 0xF];
+      }
+      ctx.total_len = ctx.len[0] + ctx.len[1];
+      ctx.expected = expected_inner[i];
+      ctx.dev = spacing_dev[i];
+      ctx.crow0 = combo_row0 + combo_bounds[i];
+      ctx.crow1 = combo_row1 + combo_bounds[i];
+      ctx.ncombos = combo_bounds[i + 1] - combo_bounds[i];
+      ctx.row_off = row_off;
+      ctx.row_ref = row_ref;
+      ctx.row_rev = row_rev;
+      ctx.concat = concat;
+      ctx.ref_starts = ref_starts;
+      ctx.ref_lens = ref_lens;
+      ctx.p = &p;
+      ctx.tbl = &tbl;
+      ctx.R = max_error_rate;
+      ctx.span = max_penalty_span;
+      ctx.scratch = &scratch;
+
+      out_nchoices[i] = 0;
+      std::vector<pairdrv::Choice> best = ctx.run({});
+      if (ctx.bail) {
+        out_status[i] = 2;
+        continue;
+      }
+      if (best.empty()) {
+        out_status[i] = 1;  // mate-rescue paths: sequential worker decides
+        continue;
+      }
+
+      // offset-invariance gate (engine.py:857-995)
+      std::set<std::pair<int, int64_t>> probes;
+      for (const pairdrv::Choice& ch : best) {
+        for (int ci = 0; ci < 2; ci++) {
+          const auto& blocks = ch.comp[ci]->blocks;
+          bool has_indel = false;
+          for (const Block& b : blocks)
+            if (b.la != b.lb) {
+              has_indel = true;
+              break;
+            }
+          if (!has_indel) continue;
+          for (const Block& b : blocks)
+            if (b.la == b.lb && b.la > 0)
+              probes.insert({ci, static_cast<int64_t>(b.sb) - b.sa});
+        }
+      }
+      bool worker_owns = false;
+      if (!probes.empty()) {
+        const int64_t budget = static_cast<int64_t>(std::max(
+            0.0, (ctx.total_len * ctx.R - p.del_start) / p.del_ext));
+        const std::vector<std::string> base_summary = pairdrv::PairCtx::summarize(best);
+        // memo keys recorded by the base run, per (seq_a, ref, voted offset)
+        std::map<std::array<uint64_t, 2>, std::vector<double>> base_keys;
+        for (const auto& kv : ctx.memo) {
+          double rate;
+          std::memcpy(&rate, &kv.first[2], 8);
+          base_keys[{kv.first[0], kv.first[1]}].push_back(rate);
+        }
+        for (const auto& probe : probes) {
+          const int ci = probe.first;
+          const int64_t alt = probe.second;
+          std::vector<pairdrv::Override> ov;
+          for (int64_t c = 0; c < ctx.ncombos; c++) {
+            const int64_t r = (ci == 0 ? ctx.crow0 : ctx.crow1)[c];
+            const int64_t off = row_off[r];
+            if (off == alt || std::llabs(off - alt) > budget) continue;
+            bool dup = false;
+            for (const pairdrv::Override& o : ov)
+              if (o.ci == ci && o.row == r) {
+                dup = true;
+                break;
+              }
+            if (!dup) ov.push_back(pairdrv::Override{ci, r, alt});
+          }
+          if (ov.empty()) continue;
+          if (ctx.pair_inputs_replay(ov) && ctx.rows_reproduce(ov, base_keys)) {
+            if (ctx.bail) break;
+            continue;  // lockstep replay: full enumeration unchanged
+          }
+          if (ctx.bail) break;
+          const std::vector<pairdrv::Choice> alt_best = ctx.run(ov);
+          if (ctx.bail) break;
+          if (pairdrv::PairCtx::summarize(alt_best) != base_summary) {
+            worker_owns = true;  // sequential worker owns the tie
+            break;
+          }
+        }
+      }
+      if (ctx.bail) {
+        out_status[i] = 2;
+        continue;
+      }
+      if (worker_owns) {
+        out_status[i] = 1;
+        continue;
+      }
+      if (static_cast<int32_t>(best.size()) > max_choices) {
+        out_status[i] = 2;
+        continue;
+      }
+      bool overflow = false;
+      for (size_t j = 0; j < best.size() && !overflow; j++)
+        for (int ci = 0; ci < 2; ci++)
+          if (static_cast<int32_t>(best[j].comp[ci]->blocks.size()) >
+              max_blocks_out)
+            overflow = true;
+      if (overflow) {
+        out_status[i] = 2;
+        continue;
+      }
+      for (size_t j = 0; j < best.size(); j++) {
+        const pairdrv::Choice& ch = best[j];
+        const int64_t gi = i * max_choices + static_cast<int64_t>(j);
+        out_spacing[gi] = ch.spacing;
+        out_total[gi] = ch.total;
+        out_inner[gi] = ch.inner;
+        for (int ci = 0; ci < 2; ci++) {
+          const int64_t gc = gi * 2 + ci;
+          out_comp_s[gc] = ch.s[ci];
+          out_comp_ref[gc] = ch.ref[ci];
+          out_comp_total[gc] = ch.comp[ci]->total;
+          out_comp_aligned[gc] = ch.comp[ci]->aligned;
+          const auto& blocks = ch.comp[ci]->blocks;
+          out_comp_nb[gc] = static_cast<int32_t>(blocks.size());
+          int32_t* dst = out_blocks + gc * max_blocks_out * 4;
+          for (size_t b = 0; b < blocks.size(); b++) {
+            dst[b * 4 + 0] = blocks[b].sa;
+            dst[b * 4 + 1] = blocks[b].sb;
+            dst[b * 4 + 2] = blocks[b].la;
+            dst[b * 4 + 3] = blocks[b].lb;
+          }
+        }
+      }
+      out_nchoices[i] = static_cast<int32_t>(best.size());
+      out_status[i] = 0;
+    }
+  }
+}
+
 void mapper_local_align_batch(
     const uint8_t* qbuf, const int64_t* q_off, const int32_t* q_len,
     const uint8_t* wbuf, const int64_t* w_off, const int32_t* w_len,

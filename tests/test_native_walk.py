@@ -144,3 +144,69 @@ def test_prefetched_matches_equal_match_block(monkeypatch):
                 assert got is not None and np.array_equal(got, expected), (t, k)
             checked += 1
     assert checked > 200
+
+
+def test_fold_and_filter_matches_python(monkeypatch):
+    """The fully-resolved prefetch (decode + native collision batch + strand
+    fold; candidates._fold_and_filter) must replay into _update_matches the
+    exact row sequence the per-match Python branch produces — pinned by
+    comparing full worker outputs with MAPPER_TPU_NATIVE_FOLD on/off over
+    SNP+indel reads (both orientations, repeats for popular bins)."""
+    from mapper_tpu.align.params import AlignmentParameters
+    from mapper_tpu.align.worker import AlignerWorker
+
+    rng = np.random.default_rng(99)
+    unit = "".join(rng.choice(list("ACGT"), size=90))
+    ref_text = unit * 25 + "".join(rng.choice(list("ACGT"), size=40000))
+    index = Api.new_database({"r": ref_text})
+    params = AlignmentParameters.defaults()
+
+    def simulate_read(i):
+        from mapper_tpu import basepairs
+
+        pos = int(rng.integers(0, 39800))
+        read = list(ref_text[len(unit) * 25 + pos :][:150])
+        for _ in range(int(rng.integers(0, 7))):
+            j = int(rng.integers(0, len(read)))
+            read[j] = "ACGT"[int(rng.integers(0, 4))]
+        if rng.random() < 0.5:
+            j = int(rng.integers(10, len(read) - 10))
+            if rng.random() < 0.5:
+                del read[j : j + int(rng.integers(1, 4))]
+            else:
+                read.insert(j, "ACGT"[int(rng.integers(0, 4))])
+        text = "".join(read)
+        if rng.random() < 0.5:
+            text = basepairs.decode(
+                basepairs.reverse_complement(basepairs.encode(text))
+            )
+        return Sequence.from_text(f"q{i}", text)
+
+    reads = [simulate_read(i) for i in range(60)]
+    reads.append(Sequence.from_text("rep", unit * 2))  # popular bins
+
+    def summarize(result):
+        rows = []
+        for alist in result.get_alignments():
+            rows.append(
+                tuple(
+                    sorted(
+                        (
+                            a.get_penalty(),
+                            tuple(c.content_key() for c in a.get_components()),
+                        )
+                        for a in alist
+                    )
+                )
+            )
+        return tuple(rows)
+
+    from mapper_tpu.align.query import Query
+
+    monkeypatch.setenv("MAPPER_TPU_NATIVE_FOLD", "0")
+    worker_py = AlignerWorker(index, params)
+    expected = [summarize(worker_py.align(Query(r))) for r in reads]
+    monkeypatch.setenv("MAPPER_TPU_NATIVE_FOLD", "1")
+    worker_nat = AlignerWorker(index, params)
+    got = [summarize(worker_nat.align(Query(r))) for r in reads]
+    assert got == expected
