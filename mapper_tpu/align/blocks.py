@@ -430,3 +430,50 @@ class QueryAlignments:
 
     def get_total_of_all_components(self) -> int:
         return sum(len(a) for a in self.alignments_per_component)
+
+
+class LazyUngappedAlignments(QueryAlignments):
+    """Single-component QueryAlignments whose QueryAlignment objects are
+    materialized on first access.
+
+    The batch engine's clean-ungapped majority emission
+    (engine._finish_single_end) carries only columnar row data — one
+    (reversed, contig index, offset, penalty) tuple per choice — and
+    listeners with columnar fast paths (SamWriter, MatchDatabase's
+    difference-array pileup) consume the rows directly, so the per-alignment
+    object tree (AlignedBlock/SequenceAlignment/QueryAlignment) is never
+    built on the hot path at all.  Any consumer that calls the regular
+    accessors gets the identical objects, built once on demand
+    (tests/test_lazy_emission.py pins equality with the eager path)."""
+
+    __slots__ = ("rows", "_materialize")
+
+    def __init__(self, query_sequences, rows, materialize):
+        self.query_sequences = query_sequences
+        self.alignments_per_component = None
+        # rows: list of (reversed, ref_seq_index, offset, penalty)
+        self.rows = rows
+        self._materialize = materialize
+
+    def _ensure(self) -> None:
+        if self.alignments_per_component is None:
+            self.alignments_per_component = [self._materialize(self)]
+
+    def get_num_components(self) -> int:
+        return 1
+
+    def get_alignments(self, i: int | None = None):
+        self._ensure()
+        if i is None:
+            return self.alignments_per_component
+        return self.alignments_per_component[i]
+
+    def get_first_alignments(self) -> list[QueryAlignment]:
+        self._ensure()
+        return self.alignments_per_component[0]
+
+    def get_query_length(self, i: int) -> int:
+        return sum(len(s) for s in self.query_sequences)
+
+    def get_total_of_all_components(self) -> int:
+        return len(self.rows)

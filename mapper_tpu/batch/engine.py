@@ -766,6 +766,20 @@ class BatchAligner:
             actual_inner = parts[1].get_start_index_b() - parts[0].get_end_index_b()
         return QueryAlignment(parts, spacing_penalty, 1.0, 0.0, total, actual_inner)
 
+    def _ref_objects(self):
+        """List indexed by contig index of (ref sequence, is_ancestral) for
+        the emission loop's per-row lookups."""
+        cached = self.__dict__.get("_ref_objects_list")
+        n = self.seq_db.get_num_sequences()
+        if cached is None or len(cached) != n:
+            cached = []
+            for i in range(n):
+                ref = self.seq_db.get_sequence(i)
+                original = self.reference_index.get_original_sequence(ref)
+                cached.append((ref, original is not ref))
+            self._ref_objects_list = cached
+        return cached
+
     def _ref_and_original(self, ref_index: int):
         cached = self._ref_cache.get(ref_index)
         if cached is None:
@@ -1780,6 +1794,28 @@ class BatchAligner:
                 job["query"].get_sequences(), [qa]
             )
 
+    def _materialize_rows(self, seq, rows):
+        """Build the QueryAlignment choices for columnar emission rows
+        ((reversed, ref_sequence, offset, penalty) per choice) — exactly what
+        the eager emission loop built; rows were pre-checked in-contig and
+        gated non-ancestral (the ancestral path materializes eagerly via
+        _make_ungapped_component)."""
+        from mapper_tpu.align.blocks import SequenceAlignment
+
+        n = len(seq)
+        choices = []
+        for rev, ref, off, pen in rows:
+            seq_a = seq.reverse_complement() if rev else seq
+            block = AlignedBlock(seq_a, ref, 0, off, n, n)
+            reversed_flag = seq_a.complemented_from is not None
+            alignment = SequenceAlignment([block], reversed_flag, pen, pen)
+            choices.append(QueryAlignment(alignment))
+        return choices
+
+    def _materialize_lazy_rows(self, lazy):
+        """LazyUngappedAlignments materializer (bound per engine)."""
+        return self._materialize_rows(lazy.query_sequences[0], lazy.rows)
+
     def _finish_single_end(self, ctx) -> list[QueryAlignments | None]:
         """Materialize one chunk's device scores and make the per-read
         decisions (second pipeline stage)."""
@@ -2019,6 +2055,21 @@ class BatchAligner:
         # the creator (cli.py) only attaches a DevicePileup when the run has
         # no ancestral->original rewrite, so presence alone gates the path
         take_device_pileup = self.device_pileup is not None
+        from mapper_tpu.align.blocks import LazyUngappedAlignments
+
+        # vectorized in-contig recheck for all emitted rows (the per-row
+        # branch cost more than the loop body), plus cached per-contig
+        # (ref object, ancestral flag) lookups
+        _, _, seq_lengths_all = _tables(self.database)
+        n_flat = batch.lengths[rid_flat]
+        off_flat_arr = table.offset[rows_flat]
+        incontig_list = (
+            (off_flat_arr >= 0)
+            & (off_flat_arr + n_flat <= seq_lengths_all[table.ref_seq_index[rows_flat]])
+        ).tolist()
+        refs_cache = self._ref_objects()
+
+        materialize = self._materialize_lazy_rows
         for r in np.nonzero(eligible)[0].tolist():
             query = queries[r]
             if counts_list[r] > max_num_matches:
@@ -2026,36 +2077,63 @@ class BatchAligner:
                 continue
             seq = reads[r]
             max_allowed_r = allowed_list[r]
-            choices = []
+            rows = []
+            row_idx = []
             ok = True
+            ancestral = False
             for c in range(ebounds[r], ebounds[r + 1]):
                 pen = pens_list[c]
                 # float64 recheck of the device-float32 accept
                 if pen > max_allowed_r:
                     ok = False
                     break
-                seq_a = seq.reverse_complement() if rev_list[c] else seq
-                alignment = self._make_ungapped_component(
-                    seq_a, seqidx_list[c], off_list[c], pen
-                )
-                if alignment is None:
+                if not incontig_list[c]:
                     ok = False
                     break
-                choices.append(QueryAlignment(alignment))
+                seqidx = seqidx_list[c]
+                off = off_list[c]
+                ref, is_anc = refs_cache[seqidx]
+                if is_anc:
+                    ancestral = True
+                rev = rev_list[c]
+                # dedup identical placements (different vote buckets): for
+                # full-length single-block rows the content key reduces to
+                # (reversed, contig, offset); first wins, as the eager
+                # content_key dedup did
+                if rows:
+                    dup = False
+                    for q in rows:
+                        if q[0] == rev and q[1] is ref and q[2] == off:
+                            dup = True
+                            break
+                    if dup:
+                        continue
+                rows.append((rev, ref, off, pen))
+                row_idx.append(seqidx)
             if not ok:
                 continue
-            if len(choices) > 1:
-                # dedup identical choices (different vote buckets, same placement)
-                seen = set()
-                unique = []
-                for choice in choices:
-                    key = choice.content_key()
-                    if key not in seen:
-                        seen.add(key)
-                        unique.append(choice)
-                choices = unique
-            result = QueryAlignments.single_component(query.get_sequences(), choices)
-            if take_device_pileup and len(choices) == 1:
+            if ancestral:
+                # ancestral->original rewrite needs sequence_b_history: keep
+                # the eager object path (rare)
+                choices = [
+                    QueryAlignment(
+                        self._make_ungapped_component(
+                            seq.reverse_complement() if rev else seq,
+                            row_idx[k],
+                            off,
+                            pen,
+                        )
+                    )
+                    for k, (rev, _ref, off, pen) in enumerate(rows)
+                ]
+                result = QueryAlignments.single_component(
+                    query.get_sequences(), choices
+                )
+            else:
+                result = LazyUngappedAlignments(
+                    query.get_sequences(), rows, materialize
+                )
+            if take_device_pileup and len(rows) == 1:
                 # weight-1.0 clean ungapped emission: count it on the device
                 # (exact in f32; see batch/device_pileup.py) and flag the
                 # result so MatchDatabase skips its host accumulation

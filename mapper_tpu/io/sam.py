@@ -64,7 +64,41 @@ class SamWriter:
 
     def add_alignments(self, results: list[QueryAlignments]) -> None:
         for query_alignments in results:
-            self._write_query(query_alignments)
+            rows = getattr(query_alignments, "rows", None)
+            if rows is not None and query_alignments.alignments_per_component is None:
+                self._write_lazy_rows(query_alignments, rows)
+            else:
+                self._write_query(query_alignments)
+
+    def _write_lazy_rows(self, query_alignments, rows) -> None:
+        """Columnar fast path for the batch engine's LazyUngappedAlignments
+        (full-length single-block ungapped choices): emits byte-identical
+        rows to _write_query without materializing the alignment objects."""
+        seq = query_alignments.query_sequences[0]
+        tlen = str(len(seq))
+        cigar = f"{len(seq)}M"
+        write = self.stream.write
+        for rev, ref, off, pen in rows:
+            seq_a = seq.reverse_complement() if rev else seq
+            write(
+                "\t".join(
+                    (
+                        _query_name(seq_a),
+                        "16" if seq_a.complemented_from is not None else "0",
+                        ref.name,
+                        str(off + 1),
+                        "255",
+                        cigar,
+                        "*",
+                        "0",
+                        tlen,
+                        seq_a.get_text(),
+                        "*",
+                        "AS:f:" + java_float_str(pen),
+                    )
+                )
+                + "\n"
+            )
 
     def _write_query(self, query_alignments: QueryAlignments) -> None:
         components = query_alignments.get_alignments()

@@ -727,10 +727,14 @@ def native_dp_align(
     w = np.ascontiguousarray(w_codes, dtype=np.uint8)
     params_arr = _params_array(params)
     max_blocks = q.shape[0] + w.shape[0] + 4
-    buf = getattr(_dp_scratch, "blocks", None)
+    # NOTE: deliberately a different attribute than native_local_align_one's
+    # `blocks` — that function caches a ctypes pointer alongside its buffer,
+    # and sharing the attribute could leave the pointer dangling at a freed
+    # buffer (and skipped its pens init) when this function resized it first
+    buf = getattr(_dp_scratch, "dp_blocks", None)
     if buf is None or buf.shape[0] < max_blocks:
         buf = np.empty((max(max_blocks, 512), 4), dtype=np.int32)
-        _dp_scratch.blocks = buf
+        _dp_scratch.dp_blocks = buf
     goal_penalty = ctypes.c_double(0.0)
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
     count = lib.mapper_dp_align(

@@ -84,6 +84,7 @@ struct Scratch {
   std::vector<uint32_t> pref_fwd, pref_comp;
   std::vector<Seed> seeds;
   std::vector<int64_t> bins;
+  std::vector<int64_t> cnts, offs;
   std::vector<int64_t> votes;
   std::vector<Group> groups;
   std::vector<int64_t> map_keys;
@@ -861,27 +862,49 @@ extern "C" int64_t mapper_generate_candidates(
         __builtin_prefetch(&counts[bin]);
         __builtin_prefetch(&offsets[bin]);
       }
-      constexpr size_t AHEAD = 8;
+      // resolve (count, offset) per seed and prefetch every usable bin's
+      // whole value run before the consume loop — the random `values` reads
+      // are the pass's cache-miss budget, and issuing all prefetches a loop
+      // ahead hides them better than the old 8-ahead rolling prefetch
+      scratch.cnts.resize(num_seeds);
+      scratch.offs.resize(num_seeds);
       for (size_t si = 0; si < num_seeds; si++) {
-        if (si + AHEAD < num_seeds) {
-          int64_t b2 = scratch.bins[si + AHEAD];
-          if (counts[b2] > 0) __builtin_prefetch(&values[offsets[b2]]);
-        }
         const Seed& sd = scratch.seeds[si];
         int64_t bin = scratch.bins[si];
         int64_t cnt = counts[bin];
         int64_t limit = std::min(caps[sd.num_bp], (int64_t)max_matches_per_seed);
-        if (cnt <= 0 || cnt > limit) continue;
+        if (cnt <= 0 || cnt > limit) {
+          scratch.cnts[si] = 0;
+          continue;
+        }
         int64_t off = offsets[bin];
+        scratch.cnts[si] = cnt;
+        scratch.offs[si] = off;
+        const int64_t* v2 = &values[off];
+        __builtin_prefetch(v2);
+        if (cnt > 8) __builtin_prefetch(v2 + 8);
+      }
+      for (size_t si = 0; si < num_seeds; si++) {
+        const Seed& sd = scratch.seeds[si];
+        int64_t cnt = scratch.cnts[si];
+        if (cnt == 0) continue;
+        int64_t off = scratch.offs[si];
         for (int64_t j = 0; j < cnt; j++) {
           int64_t pos = values[off + j];
-          // decode (sequence, offset): upper_bound(seq_starts) - 1
-          int64_t lo = 0, hi = n_seqs;  // seq_starts has n_seqs + 1 entries
-          while (lo < hi) {
-            int64_t mid = (lo + hi) / 2;
-            if (seq_starts[mid + 1] > pos) hi = mid; else lo = mid + 1;
+          // decode (sequence, offset): upper_bound(seq_starts) - 1.
+          // Small databases (single contig + RC = 2 sequences) are the
+          // common case: a branchless compare beats the binary search.
+          int64_t seq;
+          if (n_seqs == 2) {
+            seq = pos >= seq_starts[1] ? 1 : 0;
+          } else {
+            int64_t lo = 0, hi = n_seqs;  // seq_starts has n_seqs + 1 entries
+            while (lo < hi) {
+              int64_t mid = (lo + hi) / 2;
+              if (seq_starts[mid + 1] > pos) hi = mid; else lo = mid + 1;
+            }
+            seq = lo;
           }
-          int64_t seq = lo;
           int64_t pos_off = pos - seq_starts[seq];
 
           int64_t folded_off, folded_seq;
@@ -935,12 +958,18 @@ extern "C" int64_t mapper_generate_candidates(
       }
 
       // per-read top-K by votes desc, ties in key-ascending order (identical
-      // to the previous sort-runs + stable-sort-by-votes ordering)
-      std::sort(scratch.groups.begin(), scratch.groups.end(),
-                [](const Group& a, const Group& b) {
-                  if (a.votes != b.votes) return a.votes > b.votes;
-                  return a.key < b.key;
-                });
+      // to the previous sort-runs + stable-sort-by-votes ordering).  Only the
+      // first k_out groups in sorted order are ever consulted below (the
+      // noise filter advances `emitted` even when it skips), so a partial
+      // sort of the top k_out is enough — the full sort was ~18% of the pass.
+      const size_t top_k =
+          std::min(scratch.groups.size(), (size_t)k_out);
+      std::partial_sort(scratch.groups.begin(),
+                        scratch.groups.begin() + top_k, scratch.groups.end(),
+                        [](const Group& a, const Group& b) {
+                          if (a.votes != b.votes) return a.votes > b.votes;
+                          return a.key < b.key;
+                        });
       int32_t top = scratch.groups[0].votes;
       int32_t emitted = 0;
       for (const Group& g : scratch.groups) {

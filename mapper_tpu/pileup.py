@@ -133,29 +133,30 @@ class MatchDatabase:
         (1/3-choice reads etc.) keep the direct per-base scatter so float
         results are identical to the per-block path."""
         groups: dict[tuple, list] = {}
-        for seq_alignment, weight in self._fast:
-            block = seq_alignment.sections[0]
-            ref = seq_alignment.get_sequence_b()
+        # _fast items: (query_codes, start_b, ref_sequence, weight) — appended
+        # either from materialized SequenceAlignments or directly from the
+        # batch engine's columnar LazyUngappedAlignments rows
+        for qcodes, start_b, ref, weight in self._fast:
             folded = ref.complemented_from is not None
             fwd = ref.complemented_from if folded else ref
             # weight in the key: nearly everything is weight 1.0, and a
             # uniform weight makes the scatter-add take a scalar
-            groups.setdefault((id(fwd), folded, block.length_a, weight), []).append(
-                seq_alignment
+            groups.setdefault((id(fwd), folded, qcodes.shape[0], weight), []).append(
+                (qcodes, start_b, ref)
             )
         self._fast = []
         # per-contig difference arrays, filled across groups, summed once
         diffs: dict[int, tuple] = {}  # id(pileup) -> (pileup, diff_mid, diff_end)
         for (_, folded, length, weight), items in groups.items():
-            ref = items[0].get_sequence_b()
+            ref = items[0][2]
             pileup = self._pileup_for(ref)
             ref_len = len(ref)
             n = pileup.middle.shape[1]
             # int32 indices halve the scatter traffic; contigs past ~350 Mb
             # (6 rows x length) need int64
             idt = np.int32 if 6 * n < 2**31 - 1 else np.int64
-            codes = np.stack([a.get_sequence_a().codes[:length] for a in items])
-            starts = np.array([a.sections[0].start_b for a in items], dtype=idt)
+            codes = np.stack([it[0][:length] for it in items])
+            starts = np.array([it[1] for it in items], dtype=idt)
             if folded:
                 codes = basepairs.COMPLEMENT_TABLE[codes]
             rows = _CODE_TO_ROW[codes].astype(idt)
@@ -296,6 +297,18 @@ class MatchDatabase:
         # scatter-adds (batch/device_pileup.py) skip host accumulation
         if getattr(query_alignments, "device_counted", False):
             return
+        rows = getattr(query_alignments, "rows", None)
+        if rows is not None and query_alignments.alignments_per_component is None:
+            # columnar fast intake for the batch engine's
+            # LazyUngappedAlignments (full-length single-block ungapped, no
+            # mate overlap by construction) — same records _accumulate_choice
+            # would have queued, without materializing the objects
+            seq = query_alignments.query_sequences[0]
+            weight = 1.0 / len(rows)
+            for rev, ref, off, _pen in rows:
+                seq_a = seq.reverse_complement() if rev else seq
+                self._fast.append((seq_a.codes, off, ref, weight))
+            return
         for component_alignments in query_alignments.get_alignments():
             n_choices = len(component_alignments)
             if n_choices == 0:
@@ -324,7 +337,14 @@ class MatchDatabase:
                 and sections[0].start_a == 0
                 and sections[0].length_a == len(seq_alignment.get_sequence_a())
             ):
-                self._fast.append((seq_alignment, weight))
+                self._fast.append(
+                    (
+                        seq_alignment.get_sequence_a().codes,
+                        sections[0].start_b,
+                        seq_alignment.get_sequence_b(),
+                        weight,
+                    )
+                )
             else:
                 self._accumulate_sequence(seq_alignment, weight, overlap_range)
 
