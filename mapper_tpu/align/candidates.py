@@ -898,6 +898,13 @@ class QueryMatch:
     def get_end_index_b(self) -> int:
         return max(self.components[0].start_index_b, self.components[-1].start_index_b)
 
+    def get_total_distance_across(self) -> int:
+        """QueryMatch.getTotalDistanceAcross (java:60-67)."""
+        first, last = self.components[0], self.components[-1]
+        if self.components[0].reversed:
+            return first.end_index_b - last.start_index_b
+        return last.end_index_b - first.start_index_b
+
     def get_total_distance_between_components(self) -> int:
         """QueryMatch.getTotalDistanceBetweenComponents (java:70-79)."""
         total = 0

@@ -413,8 +413,15 @@ def _device_candidates_core(
     # traced scalars (don't shape the program)
     max_size, n_seqs, span, bias,
     *, min_size: int, max_matches: int, num_levels: int, v_slots: int,
-    p_slots: int, k_out: int,
+    p_slots: int, k_out: int, stage: int = 99,
 ):
+    # `stage` truncates the program after a pipeline phase and returns a
+    # data-dependent checksum — used only by benchmarks/bench_fused_stages.py
+    # to itemize where the fused program's device time goes (the tunnel
+    # exposes no device profiler).  99 = the full program.
+    def _probe(x):
+        return jnp.sum(x.astype(jnp.int32)).reshape(1, 1)
+
     b, l = codes_u8.shape
     valid0 = jax.lax.broadcasted_iota(jnp.int32, (b, l), 1) < lengths[:, None]
     row0 = _base_row_device(codes_u8, valid0)
@@ -440,6 +447,8 @@ def _device_candidates_core(
     def _flat(a):  # [NLEV, B, L] -> [B, NLEV * L], level-major per read
         return jnp.transpose(a, (1, 0, 2)).reshape(b, num_levels * l)
 
+    if stage == 1:
+        return _probe(jnp.where(_flat(per_level[5]), _flat(per_level[0]), 0))
     keys = _flat(per_level[0])
     num_bp = _flat(per_level[1])
     starts = _flat(per_level[2])
@@ -466,6 +475,8 @@ def _device_candidates_core(
     usable = c_valid & (cnt > 0) & (cnt <= limit)
     c_cnt = jnp.where(usable, cnt, 0)
 
+    if stage == 2:
+        return _probe(jnp.where(usable, cnt, 0))
     # ---- expand matches: [B, V, M] encoded global positions ----
     m = max_matches
     j = jax.lax.broadcasted_iota(jnp.int32, (b, v_slots, m), 2)
@@ -474,6 +485,8 @@ def _device_candidates_core(
     pos_idx = jnp.where(pos_valid, pos_idx, 0)
     pos = values[pos_idx]
 
+    if stage == 3:
+        return _probe(jnp.where(pos_valid, pos, 0))
     # ---- fold to (strand, forward contig, offset) vote keys ----
     # decode global position: seq = #(seq_starts[1:] <= pos), offset = rest
     seq = jnp.sum(
@@ -499,6 +512,8 @@ def _device_candidates_core(
     )
     vote_key = (mrev.astype(jnp.int32) * n_seqs + fwd_idx) * span + (offv + bias)
 
+    if stage == 4:
+        return _probe(jnp.where(pos_valid, vote_key, 0))
     # ---- compact vote entries to P slots ----
     flat_key = vote_key.reshape(b, v_slots * m)
     flat_valid = pos_valid.reshape(b, v_slots * m)
@@ -508,6 +523,8 @@ def _device_candidates_core(
         entry_counts, p_slots
     )[:, None]
 
+    if stage == 5:
+        return _probe(jnp.where(p_valid, p_key, 0))
     # ---- O(P^2) vote counting (mode finding without a sort) ----
     # chunked over the query axis so the pairwise compare stays a fused
     # reduce of [B, CH, P] instead of materializing [B, P, P]
@@ -524,6 +541,8 @@ def _device_candidates_core(
     votes = jnp.transpose(vote_chunks, (1, 0, 2)).reshape(b, p_slots)
     votes = jnp.where(p_valid, votes, 0)
 
+    if stage == 6:
+        return _probe(votes)
     # ---- top-K rounds: votes desc, key asc (the numpy lexsort order) ----
     int_max = jnp.int32(2**31 - 1)
     remaining = p_valid
