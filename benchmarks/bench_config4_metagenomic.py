@@ -54,7 +54,13 @@ def main(argv):
 
     from mapper_tpu.cli import main as cli_main
 
+    # service-phase probes (same probes as bench.py): the c4 wall time's
+    # run-to-run swing is dominated by the shared host/device phase, and
+    # recording the probes next to each run makes that attributable
+    import bench as _bench
+
     refcounts = os.path.join(work, "refs_map_count.txt")
+    host_probe_before = _bench._host_probe()
     t1 = time.time()
     cli_main([
         "--reference", ref_path,
@@ -63,6 +69,7 @@ def main(argv):
         "--out-refs-map-count", refcounts,
     ])
     wall = time.time() - t1
+    host_probe_after = _bench._host_probe()
     print(json.dumps({
         "metric": "metagenomic_pairs_per_second_e2e",
         "value": round(num_pairs / wall, 1),
@@ -73,6 +80,8 @@ def main(argv):
             "genome_mb": genome_mb,
             "wall_seconds": round(wall, 1),
             "refcount_lines": sum(1 for _ in open(refcounts)),
+            "host_probe_s": [round(host_probe_before, 3), round(host_probe_after, 3)],
+            "host_probe_nominal_s": _bench.HOST_PROBE_NOMINAL_S,
         },
     }))
 
