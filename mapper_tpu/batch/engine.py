@@ -65,7 +65,10 @@ class BatchAligner:
         max_candidates_per_read: int = 8,
         listeners: list | None = None,
         tile: int = 1024,
-        pipeline_chunk_reads: int | None = 2048,
+        # 4096 measured best on the real chip (round 5): halves the number
+        # of per-chunk tunnel fetches vs 2048 (each costs a flat ~24 ms RTT
+        # class wait) while keeping one chunk of dispatch-ahead overlap
+        pipeline_chunk_reads: int | None = 4096,
         paired_vectorized: bool = True,
         mesh=None,
         device_candidates: bool | None = None,
@@ -2210,7 +2213,7 @@ def start_scoring_warmup(
     read_length: int,
     paired: bool = False,
     tile: int = 1024,
-    chunk: int = 2048,
+    chunk: int = 4096,  # keep in sync with BatchAligner.pipeline_chunk_reads
     band: int | None = None,
     mesh=None,
 ) -> ScoringWarmup:

@@ -126,64 +126,84 @@ bool init_base_row(const uint8_t* codes, int64_t len, std::vector<Block>& row) {
 // reports the min/max merged block length.
 void merge_row_once(const std::vector<Block>& row, std::vector<Block>& next,
                     int32_t* row_max_len_out, int32_t* row_min_len_out) {
+  // Branch-free body: the merge decision and the flag algebra depend on
+  // sequence content, so their branches are data-random (~50% mispredict)
+  // and cost more than computing both sides.  Every pair's merged block is
+  // computed unconditionally into a write-always slot whose index advances
+  // by the merge decision; all if-chains are ternaries the compiler lowers
+  // to cmov.  Field-for-field identical to the branching original (pinned
+  // by the native-vs-numpy candidate and walk differential tests).
+  const size_t n = row.size();
   next.clear();
+  if (n < 2) {
+    *row_max_len_out = 0;
+    *row_min_len_out = INT32_MAX;
+    return;
+  }
+  next.resize(n - 1);
+  size_t w = 0;
   int32_t row_max_len = 0;
   int32_t row_min_len = INT32_MAX;
-  for (size_t i = 0; i + 1 < row.size(); i++) {
+  for (size_t i = 0; i + 1 < n; i++) {
     const Block& L = row[i];
     const Block& R = row[i + 1];
-    if (!(L.start + L.length >= R.start && (L.req_r || R.req_l))) continue;
-    Block b;
+    const bool do_merge =
+        (L.start + L.length >= R.start) & (L.req_r | R.req_l);
+    Block& b = next[w];
     b.start = L.start;
     b.length = R.start + R.length - L.start;
     b.fwd = merge_hashes(L.length, L.fwd, R.length, R.fwd);
     b.rev = merge_hashes(R.length, R.rev, L.length, L.rev);
 
-    bool anchor_exists = L.fwd != R.rev;
-    bool anchor_is_right = L.fwd > R.rev;
-    bool asym = anchor_exists && (b.fwd != b.rev);
-    bool is_reverse = b.fwd < b.rev;
-    bool invert = (is_reverse == anchor_is_right);
+    const bool anchor_exists = L.fwd != R.rev;
+    const bool anchor_is_right = L.fwd > R.rev;
+    const bool asym = anchor_exists & (b.fwd != b.rev);
+    const bool is_reverse = b.fwd < b.rev;
+    const bool invert = (is_reverse == anchor_is_right);
 
     bool a_nl = anchor_is_right ? R.next_l : L.next_l;
     bool a_nr = anchor_is_right ? R.next_r : L.next_r;
-    if (a_nl && a_nr) {
-      if (anchor_is_right) a_nr = false; else a_nl = false;
-    }
+    const bool both_a = a_nl & a_nr;
+    a_nr = a_nr & !(both_a & anchor_is_right);
+    a_nl = a_nl & !(both_a & !anchor_is_right);
     bool o_nl = anchor_is_right ? L.next_l : R.next_l;
     bool o_nr = anchor_is_right ? L.next_r : R.next_r;
-    if (o_nl && o_nr) {
-      if (!anchor_is_right) o_nl = false; else o_nr = false;
-    }
+    const bool both_o = o_nl & o_nr;
+    o_nl = o_nl & !(both_o & !anchor_is_right);
+    o_nr = o_nr & !(both_o & anchor_is_right);
 
-    bool req_l = true, req_r = true, next_l = true, next_r = true;
-    if (asym) {
-      req_l = a_nl != invert;
-      req_r = a_nr != invert;
-      next_l = o_nl != invert;
-      next_r = o_nr != invert;
-    }
-    if (L.length != R.length) {
-      bool lg = L.length > R.length;
-      req_l = lg; req_r = !lg; next_l = !lg; next_r = lg;
-    }
-    if (b.fwd != b.rev) {
-      if (req_l && req_r) { req_l = b.fwd > b.rev; req_r = !req_l; }
-      if (next_l && next_r) { next_l = req_l; next_r = !req_l; }
-    }
+    bool req_l = asym ? (a_nl != invert) : true;
+    bool req_r = asym ? (a_nr != invert) : true;
+    bool next_l = asym ? (o_nl != invert) : true;
+    bool next_r = asym ? (o_nr != invert) : true;
+    const bool len_diff = L.length != R.length;
+    const bool lg = L.length > R.length;
+    req_l = len_diff ? lg : req_l;
+    req_r = len_diff ? !lg : req_r;
+    next_l = len_diff ? !lg : next_l;
+    next_r = len_diff ? lg : next_r;
+    const bool hash_asym = b.fwd != b.rev;
+    const bool pick = b.fwd > b.rev;
+    const bool fix_req = hash_asym & req_l & req_r;
+    req_l = fix_req ? pick : req_l;
+    req_r = fix_req ? !pick : req_r;
+    const bool fix_next = hash_asym & next_l & next_r;
+    next_l = fix_next ? req_l : next_l;
+    next_r = fix_next ? !req_l : next_r;
     b.req_l = req_l; b.req_r = req_r; b.next_l = next_l; b.next_r = next_r;
 
-    if (req_l != req_r) b.gap_dir = req_l ? 1 : -1;
-    else if (anchor_exists) b.gap_dir = anchor_is_right ? 1 : -1;
-    else b.gap_dir = 0;
+    b.gap_dir = (req_l != req_r)
+                    ? (req_l ? 1 : -1)
+                    : (anchor_exists ? (anchor_is_right ? 1 : -1) : 0);
 
-    int64_t extra_raw = (int64_t)L.length + R.length - b.length;
+    const int64_t extra_raw = (int64_t)L.length + R.length - b.length;
     b.extra = (int32_t)(extra_raw / 4);  // trunc toward zero, as in Java
 
-    next.push_back(b);
-    row_max_len = std::max(row_max_len, b.length);
-    row_min_len = std::min(row_min_len, b.length);
+    row_max_len = do_merge ? std::max(row_max_len, b.length) : row_max_len;
+    row_min_len = do_merge ? std::min(row_min_len, b.length) : row_min_len;
+    w += do_merge;
   }
+  next.resize(w);
   *row_max_len_out = row_max_len;
   *row_min_len_out = row_min_len;
 }
