@@ -10,6 +10,7 @@ vote counting, 99 full (top-K + output).
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -21,6 +22,9 @@ import jax
 
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 STAGES = [int(s) for s in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 2, 3, 4, 5, 6, 99]
+# FUSED_LEVELS=4,8,16 sweeps the pyramid level count at each stage (the
+# level scan dominates the program — BENCH.md "Fused-path itemization")
+LEVELS = [int(x) for x in os.environ.get("FUSED_LEVELS", "").split(",") if x] or [None]
 
 from benchmarks.bench_fused import build, NUM_READS
 
@@ -66,14 +70,18 @@ def main():
         ),
     )(dc._device_candidates_core)
     for stage in STAGES:
+      for levels in LEVELS:
         static = dict(
             min_size=int(db.get_min_interesting_size()),
-            max_matches=12, num_levels=dc.NUM_LEVELS, v_slots=dc.V_SLOTS,
+            max_matches=12,
+            num_levels=dc.NUM_LEVELS if levels is None else levels,
+            v_slots=dc.V_SLOTS,
             p_slots=dc.P_SLOTS, k_out=8, stage=stage,
         )
+        label = f"{stage}" if levels is None else f"{stage}@L{levels}"
         t0 = time.time()
         np.asarray(fn(*dyn, **static))
-        print(f"stage {stage}: compile+first {time.time()-t0:.1f}s", flush=True)
+        print(f"stage {label}: compile+first {time.time()-t0:.1f}s", flush=True)
         times = []
         for _ in range(3):
             t0 = time.time()
@@ -83,9 +91,9 @@ def main():
             times.append(time.time() - t0)
         best = min(times)
         per_iter = max(best - 0.025 * ITERS, 1e-9) / ITERS
-        results[stage] = round(per_iter * 1000, 1)
-        print(f"stage {stage}: {per_iter*1000:.1f} ms per {NUM_READS}-read chunk", flush=True)
-    print(json.dumps({"metric": "fused_stage_ms_per_chunk", "value": results.get(99),
+        results[label] = round(per_iter * 1000, 1)
+        print(f"stage {label}: {per_iter*1000:.1f} ms per {NUM_READS}-read chunk", flush=True)
+    print(json.dumps({"metric": "fused_stage_ms_per_chunk", "value": results.get("99"),
                       "unit": "ms", "detail": results}))
 
 
