@@ -107,6 +107,9 @@ struct DpScratch {
   std::vector<uint8_t> rev_q, rev_w;
   std::vector<double> pens;
   std::vector<int> wlo, whi;  // per-row written column range (banded init)
+  // per-query-code window rows (see dp_fill_traceback): penalties, match
+  // masks, content-allow masks, plus an all-ones row
+  std::vector<double> penrow, arow, crow, ones;
 };
 
 // Fills the DP tables and runs the traceback (the body of mapper_dp_align;
@@ -194,6 +197,46 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
   const int slack_lo = std::min(0, m - n);
   const int slack_hi = std::max(0, m - n);
 
+  // Per-query-code window rows: the window w is fixed across DP rows, so the
+  // per-cell penalty-table gathers (t[qc][w[y-1]]) — which blocked
+  // vectorization of the overlay and insX passes — are hoisted into rows
+  // built once per (problem, code).  Same table values added in the same
+  // order: results are bit-identical.
+  //   pr[c][y]  = tbl.t[c][w[y-1]]          (y in 1..m)
+  //   ar[c][y]  = can_match(c, w[y-1])      (1.0/0.0)
+  //   cr[c][y]  = insX/del "content allows a new indel here" term for code c
+  //               at window position y (pr==0 | amb(c) | amb(w[y-1]) -> 0);
+  //               cr[c][m+1] = 1 sentinel (the y==m insX case skips the term)
+  const int prow_stride = m + 2;
+  if (scratch.penrow.size() < static_cast<size_t>(16) * prow_stride) {
+    scratch.penrow.resize(static_cast<size_t>(16) * prow_stride);
+    scratch.arow.resize(static_cast<size_t>(16) * prow_stride);
+    scratch.crow.resize(static_cast<size_t>(16) * prow_stride);
+  }
+  if (scratch.ones.size() < static_cast<size_t>(prow_stride))
+    scratch.ones.assign(prow_stride, 1.0);
+  uint8_t built[16] = {0};
+  auto rows_of = [&](uint8_t code) -> int {
+    const int c = code & 0xF;
+    if (!built[c]) {
+      double* pr = &scratch.penrow[static_cast<size_t>(c) * prow_stride];
+      double* ar = &scratch.arow[static_cast<size_t>(c) * prow_stride];
+      double* cr = &scratch.crow[static_cast<size_t>(c) * prow_stride];
+      const double* t = tbl.t[c];
+      const bool amb_c = fully_ambiguous(static_cast<uint8_t>(c));
+      for (int y = 1; y <= m; y++) {
+        const uint8_t wy = w[y - 1];
+        const double np = t[wy & 0xF];
+        pr[y] = np;
+        ar[y] = can_match(static_cast<uint8_t>(c), wy) ? 1.0 : 0.0;
+        cr[y] = (np == 0.0 || amb_c || fully_ambiguous(wy)) ? 0.0 : 1.0;
+      }
+      cr[m + 1] = 1.0;
+      built[c] = 1;
+    }
+    return c;
+  };
+
   // Vectorization split: insX and the diagonal overlay have no dependency
   // along y, so they fill as branch-free passes the compiler can SIMD; only
   // the best/insY pair carries the sequential y recurrence.  Same operations
@@ -230,21 +273,28 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
     double* row_best = &best[(size_t)x * stride];
     double* row_insx = &insx[(size_t)x * stride];
     double* row_insy = &insy[(size_t)x * stride];
-    const double* tq = tbl.t[qc & 0xF];
-    const bool amb_qc = fully_ambiguous(qc);
+    const int cq = rows_of(qc);
+    const double* pr_q =
+        &scratch.penrow[static_cast<size_t>(cq) * prow_stride];
+    const double* ar_q = &scratch.arow[static_cast<size_t>(cq) * prow_stride];
     const uint8_t qnext = x < n ? q[x] : 0;
-    const double* tqn = tbl.t[qnext & 0xF];
-    const bool amb_qn = fully_ambiguous(qnext);
+    // del "new" content term: disabled entirely at x == n (java:661)
+    const double* cr_qn =
+        x < n ? &scratch.crow[static_cast<size_t>(rows_of(qnext)) * prow_stride]
+              : scratch.ones.data();
     const bool have_qprev = x >= 2;
-    const uint8_t qprev = have_qprev ? q[x - 2] : 0;
+    // insX "new" match term: w[y-1] must match q[x-2]; no constraint at x < 2
+    const double* ar_qp =
+        have_qprev
+            ? &scratch.arow[static_cast<size_t>(rows_of(q[x - 2])) * prow_stride]
+            : scratch.ones.data();
+    // insX "new" content term at position y reads w[y] (cr index y+1);
+    // cr[m+1] = 1 covers the y == m skip
+    const double* cr_q = &scratch.crow[static_cast<size_t>(cq) * prow_stride];
 
     // insX pass (PathAligner.computeUpdated, java:591-637)
     for (int y = y_lo; y <= y_hi; y++) {
-      bool new_allowed = !(have_qprev && !can_match(qprev, w[y - 1]));
-      if (new_allowed && y < m) {
-        const double np = tq[w[y] & 0xF];
-        if (np == 0.0 || amb_qc || fully_ambiguous(w[y])) new_allowed = false;
-      }
+      const bool new_allowed = (ar_qp[y] != 0.0) & (cr_q[y + 1] != 0.0);
       const double new_ins = new_allowed ? prev_best[y] + ins_open : DISALLOWED;
       const double ext_ins = prev_insx[y] + p.ins_ext;
       row_insx[y] = std::min(new_ins, ext_ins);
@@ -253,18 +303,15 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
 
     // overlay pass (reuses insy row as scratch until the final min)
     for (int y = y_lo; y <= y_hi; y++) {
-      row_best[y] = prev_best[y - 1] + tq[w[y - 1] & 0xF];
+      row_best[y] = prev_best[y - 1] + pr_q[y];
     }
 
     // sequential best/insY recurrence (java:639-676)
     double b_prev = row_best[y_lo - 1];
     double iy_prev = row_insy[y_lo - 1];
     for (int y = y_lo; y <= y_hi; y++) {
-      bool del_allowed = !(y >= 2 && !can_match(qc, w[y - 2]));
-      if (del_allowed && x < n) {
-        const double np = tqn[w[y - 1] & 0xF];
-        if (np == 0.0 || amb_qn || fully_ambiguous(w[y - 1])) del_allowed = false;
-      }
+      const bool del_allowed =
+          (y < 2 || ar_q[y - 1] != 0.0) && (cr_qn[y] != 0.0);
       const double new_del = del_allowed ? b_prev + del_open : DISALLOWED;
       const double iy = std::min(new_del, iy_prev + p.del_ext);
       const double b = std::min(std::min(row_best[y], row_insx[y]), iy);
