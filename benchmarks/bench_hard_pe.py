@@ -89,16 +89,24 @@ def main():
     engine.process_batch(queries)
     note("warmup done")
     engine.stats_fallback_reads = 0
+    # two pass-groups separated by a pause (the shared service's phase
+    # swings minute-to-minute; same spread-group methodology as bench.py)
+    import os as _os
+
     pass_seconds = []
-    for i in range(3):
-        t0 = time.time()
-        results = engine.process_batch(queries)
-        pass_seconds.append(time.time() - t0)
-        note(f"pass {i}: {pass_seconds[-1]:.1f}s")
+    n_passes = int(_os.environ.get("HARDPE_PASSES", 3))
+    for g in range(2):
+        if g:
+            time.sleep(float(_os.environ.get("HARDPE_GAP", 20)))
+        for i in range(n_passes):
+            t0 = time.time()
+            results = engine.process_batch(queries)
+            pass_seconds.append(time.time() - t0)
+            note(f"pass {g}.{i}: {pass_seconds[-1]:.1f}s")
     elapsed = min(pass_seconds)
     aligned = sum(1 for r in results if r.get_total_of_all_components() > 0)
     via_exact = sum(1 for r in results if getattr(r, "via_exact", False))
-    fallback_fraction = engine.stats_fallback_reads / (3 * len(queries))
+    fallback_fraction = engine.stats_fallback_reads / (len(pass_seconds) * len(queries))
     print(
         json.dumps(
             {
@@ -112,7 +120,7 @@ def main():
                     "exact_combo_fraction": round(via_exact / len(queries), 4),
                     "error_model": "3% SNP + up to 2 indel events (1-3 bp) per 150 bp mate",
                     "pass_seconds": [round(t, 3) for t in pass_seconds],
-                    "methodology": "min_of_passes",
+                    "methodology": "min_of_passes_across_spread_groups",
                 },
             }
         )

@@ -467,13 +467,30 @@ class CountingHashBlockPath:
         # fully-resolved prefetch: positions decoded, collision checks run
         # natively, strand fold applied — step() just replays arrays
         self._prefetched2 = None
+        self._raw_counts = None
         seq_arr = self.path._native_seq
         if seq_arr is not None and seq_arr.shape[0]:
             import os as _os
 
-            self._prefetched = self._prefetch_matches(seq_arr)
-            if _os.environ.get("MAPPER_TPU_NATIVE_FOLD", "1") != "0":
-                self._prefetched2 = self._fold_and_filter(seq_arr, self._prefetched)
+            fold_enabled = _os.environ.get("MAPPER_TPU_NATIVE_FOLD", "1") != "0"
+            if fold_enabled:
+                # single native call for the whole walk's lookups + collision
+                # checks + strand folds (candidates.cpp::mapper_prefetch_fold;
+                # _prefetch_matches + _fold_and_filter are the oracle —
+                # tests/test_native_walk.py::test_prefetch_fold_native_equals_python)
+                from mapper_tpu.native import native_prefetch_fold
+
+                nf = native_prefetch_fold(seq_arr, database, query.codes)
+                if nf is not None:
+                    popular, raw_counts, bounds, fi, fo, ir = nf
+                    self._raw_counts = raw_counts
+                    self._prefetched2 = (fi, fo, ir, bounds, popular)
+            if self._prefetched2 is None:
+                self._prefetched = self._prefetch_matches(seq_arr)
+                if fold_enabled:
+                    self._prefetched2 = self._fold_and_filter(
+                        seq_arr, self._prefetched
+                    )
         max_possible_indel = int(
             (len(query) * params.max_error_rate - params.deletion_start_penalty)
             / params.deletion_extension_penalty
@@ -677,8 +694,11 @@ class CountingHashBlockPath:
             # tests/test_native_walk.py::test_fold_and_filter_matches_python)
             fold_idx, fold_off, is_rc, bounds, _ = pre2
             w = block.walk_index
-            raw = self._prefetched[w]
-            num_block_matches = 0 if raw is None else int(raw.shape[0])
+            if self._raw_counts is not None:
+                num_block_matches = int(self._raw_counts[w])
+            else:
+                raw = self._prefetched[w]
+                num_block_matches = 0 if raw is None else int(raw.shape[0])
             for k in range(int(bounds[w]), int(bounds[w + 1])):
                 ref_b = self.seq_db.get_sequence(int(fold_idx[k]))
                 seq_a = self.reverse_complement_query if is_rc[k] else self.query

@@ -228,6 +228,18 @@ def get_candidates_library():
                 i64, i64,                  # keep_lo, keep_hi (window-local)
                 p_i32, p_i32, p_i32, p_u8, p_u8, p_i64, p_i32, p_u8, i64,
             ]
+            lib.mapper_prefetch_fold.restype = i64
+            lib.mapper_prefetch_fold.argtypes = [
+                p_i32, i64,                      # seq_arr, nb
+                p_i64, p_i64, p_i64,             # capacities, caps, bases
+                p_i64, p_i64, p_i64,             # counts, offsets, values
+                p_i64, i64, p_i64,               # seq_starts, n_seqs, seq_lengths
+                p_i64, p_u8,                     # rc_index, rc_flags
+                p_u8, i64, p_u8,                 # q, qn, concat
+                p_u8, p_i64, p_i64,              # popular, raw_counts, bounds
+                p_i64, p_i64, p_u8,              # fold_idx, fold_off, is_rc
+                i64,                             # cap
+            ]
             lib.mapper_collision_batch.restype = None
             lib.mapper_collision_batch.argtypes = [
                 p_u8, i64, p_u8,           # q, qn, concat
@@ -851,6 +863,93 @@ def native_query_walk(codes: np.ndarray, database):
             database.require_set_up_through_size(int(need.value))
             continue
         return out[:r]
+
+
+def native_prefetch_fold(seq_arr: np.ndarray, database, query_codes: np.ndarray):
+    """Fused walk prefetch: index lookups + secondary-polarity fold +
+    collision checks + reverse-strand fold for a whole native-walk sequence
+    (candidates._prefetch_matches + _fold_and_filter are the oracle).
+    Returns (popular bool[nb], raw_counts int64[nb], bounds int64[nb+1],
+    fold_idx, fold_off, is_rc) or None when unavailable."""
+    lib = get_candidates_library()
+    if lib is None or not hasattr(lib, "mapper_prefetch_fold"):
+        return None
+    merged = database.merged_index()
+    if merged.get("counts") is None:
+        return None
+    seq_db = database.get_sequence_database()
+    rc_flags = getattr(database, "_rc_flags_arr", None)
+    if rc_flags is None:
+        rc_flags = np.fromiter(
+            (s.complemented_from is not None for s in seq_db.sequences),
+            dtype=bool,
+            count=len(seq_db.sequences),
+        )
+        database._rc_flags_arr = rc_flags
+    nb = int(seq_arr.shape[0])
+    c = np.ascontiguousarray
+    seq_arr = c(seq_arr, dtype=np.int32)
+    query_codes = c(query_codes, dtype=np.uint8)
+    concat = c(seq_db.concatenated_codes(), dtype=np.uint8)
+    arrs = {
+        "capacities": c(merged["capacities"], dtype=np.int64),
+        "caps": c(merged["caps"], dtype=np.int64),
+        "bases": c(merged["bases"], dtype=np.int64),
+        "counts": c(merged["counts"], dtype=np.int64),
+        "offsets": c(merged["offsets"], dtype=np.int64),
+        "values": c(merged["values"], dtype=np.int64),
+    }
+    seq_starts = c(seq_db.starts, dtype=np.int64)
+    seq_lengths = c(database._seq_lengths, dtype=np.int64)
+    rc_index = c(database._rc_index, dtype=np.int64)
+    rc_flags_u8 = c(rc_flags, dtype=np.uint8)
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    cap = 16 * nb + 1024
+    while True:
+        popular = np.empty(nb, dtype=np.uint8)
+        raw_counts = np.empty(nb, dtype=np.int64)
+        bounds = np.empty(nb + 1, dtype=np.int64)
+        fold_idx = np.empty(cap, dtype=np.int64)
+        fold_off = np.empty(cap, dtype=np.int64)
+        is_rc = np.empty(cap, dtype=np.uint8)
+        n = lib.mapper_prefetch_fold(
+            seq_arr.ctypes.data_as(p_i32),
+            nb,
+            arrs["capacities"].ctypes.data_as(p_i64),
+            arrs["caps"].ctypes.data_as(p_i64),
+            arrs["bases"].ctypes.data_as(p_i64),
+            arrs["counts"].ctypes.data_as(p_i64),
+            arrs["offsets"].ctypes.data_as(p_i64),
+            arrs["values"].ctypes.data_as(p_i64),
+            seq_starts.ctypes.data_as(p_i64),
+            seq_db.get_num_sequences(),
+            seq_lengths.ctypes.data_as(p_i64),
+            rc_index.ctypes.data_as(p_i64),
+            rc_flags_u8.ctypes.data_as(p_u8),
+            query_codes.ctypes.data_as(p_u8),
+            query_codes.shape[0],
+            concat.ctypes.data_as(p_u8),
+            popular.ctypes.data_as(p_u8),
+            raw_counts.ctypes.data_as(p_i64),
+            bounds.ctypes.data_as(p_i64),
+            fold_idx.ctypes.data_as(p_i64),
+            fold_off.ctypes.data_as(p_i64),
+            is_rc.ctypes.data_as(p_u8),
+            cap,
+        )
+        if n == -2:
+            cap *= 4
+            continue
+        return (
+            popular.astype(bool),
+            raw_counts,
+            bounds,
+            fold_idx[:n],
+            fold_off[:n],
+            is_rc[:n].astype(bool),
+        )
 
 
 def native_collision_batch(

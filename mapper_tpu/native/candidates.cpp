@@ -1811,3 +1811,100 @@ extern "C" void mapper_collision_batch(
     out_ok[i] = n_mismatch <= n_match ? 1 : 0;
   }
 }
+
+// ---------------------------------------------------------------------------
+// Fused walk prefetch: index lookups + secondary-polarity fold + +-20bp
+// collision checks + reverse-strand fold for a whole native-walk sequence in
+// one call (candidates._prefetch_matches + _fold_and_filter are the Python
+// oracle).  Outputs exactly what CountingHashBlockPath.step replays:
+// per-walk-row popularity/raw-count, and collision-filtered
+// (fold_seq, fold_off, is_rc) rows grouped by walk index.
+// Returns total kept rows, or -2 when cap is insufficient.
+extern "C" int64_t mapper_prefetch_fold(
+    const int32_t* seq_arr, int64_t nb,  // [nb, 9] native walk rows
+    const int64_t* capacities, const int64_t* caps, const int64_t* bases,
+    const int64_t* counts, const int64_t* offsets, const int64_t* values,
+    const int64_t* seq_starts, int64_t n_seqs, const int64_t* seq_lengths,
+    const int64_t* rc_index, const uint8_t* rc_flags,
+    const uint8_t* q, int64_t qn, const uint8_t* concat,
+    uint8_t* out_popular, int64_t* out_raw_counts, int64_t* out_bounds,
+    int64_t* out_fold_idx, int64_t* out_fold_off, uint8_t* out_is_rc,
+    int64_t cap) {
+  int64_t w = 0;
+  out_bounds[0] = 0;
+  for (int64_t k = 0; k < nb; k++) {
+    const int32_t* row = seq_arr + k * 9;
+    const int64_t bs = row[0];
+    const int64_t blen = row[1];
+    const int64_t nbp = row[2];
+    const int32_t fwd = row[3];
+    const int32_t rev = row[4];
+    const bool req_l = row[5] != 0;
+    const bool req_r = row[6] != 0;
+    const bool primary = (req_l != req_r) ? req_l : (fwd >= rev);
+    const int64_t key = primary ? (int64_t)fwd : (int64_t)rev;
+    const int64_t capc = capacities[nbp];
+    int64_t rem = key % capc;
+    if (rem < 0) rem += capc;  // numpy floor-mod
+    const int64_t bin = bases[nbp] + rem;
+    const int64_t cnt = counts[bin];
+    const bool popular = cnt > caps[nbp];
+    out_popular[k] = popular ? 1 : 0;
+    const int64_t take = popular ? 0 : cnt;
+    out_raw_counts[k] = take;
+    const int64_t off0 = offsets[bin];
+    for (int64_t j = 0; j < take; j++) {
+      int64_t pos = values[off0 + j];
+      // decode (sequence, offset)
+      int64_t lo = 0, hi = n_seqs;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (seq_starts[mid + 1] > pos) hi = mid; else lo = mid + 1;
+      }
+      int64_t seq = lo;
+      int64_t pos_off = pos - seq_starts[seq];
+      if (!primary) {  // secondary-polarity strand fold (match_block)
+        const int64_t orig = seq;
+        seq = rc_index[orig];
+        pos_off = seq_lengths[orig] - pos_off - blen;
+      }
+      // +-20bp collision sampling (Counting_HashBlockPath.java:95-153)
+      const uint8_t* r = concat + seq_starts[seq];
+      const int64_t rn = seq_lengths[seq];
+      const int64_t right = bs + blen - 1;
+      int64_t n_match = 0, n_mismatch = 0;
+      for (int d = 1; d < 20; d++) {
+        for (int t = 0; t < 2; t++) {
+          const int64_t qi = t == 0 ? bs - d : right + d;
+          if (qi >= 0 && qi < qn) {
+            const int64_t ri = qi - bs + pos_off;
+            if (ri >= 0 && ri < rn) {
+              if ((q[qi] & r[ri]) == 0)
+                n_mismatch++;
+              else
+                n_match++;
+            }
+          }
+        }
+        if (n_match < n_mismatch) break;
+        if (n_match >= n_mismatch + nbp) break;
+      }
+      if (n_mismatch > n_match) continue;
+      // reverse-strand fold to forward coordinates (java:154-166)
+      const bool is_rc = rc_flags[seq] != 0;
+      if (w >= cap) return -2;
+      if (is_rc) {
+        out_fold_idx[w] = rc_index[seq];
+        out_fold_off[w] =
+            (seq_lengths[seq] - (pos_off + blen)) - (qn - (bs + blen));
+      } else {
+        out_fold_idx[w] = seq;
+        out_fold_off[w] = pos_off - bs;
+      }
+      out_is_rc[w] = is_rc ? 1 : 0;
+      w++;
+    }
+    out_bounds[k + 1] = w;
+  }
+  return w;
+}

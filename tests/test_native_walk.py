@@ -109,6 +109,9 @@ def test_prefetched_matches_equal_match_block(monkeypatch):
     from mapper_tpu.align.params import AlignmentParameters
 
     monkeypatch.setenv("MAPPER_TPU_NATIVE", "1")
+    # pin the numpy v1 prefetch (the native fused prefetch skips building
+    # the raw per-block match lists this test compares)
+    monkeypatch.setenv("MAPPER_TPU_NATIVE_FOLD", "0")
     rng = np.random.default_rng(3)
     # a repetitive reference makes popular bins likely
     unit = "".join(rng.choice(list("ACGT"), size=120))
@@ -210,3 +213,54 @@ def test_fold_and_filter_matches_python(monkeypatch):
     worker_nat = AlignerWorker(index, params)
     got = [summarize(worker_nat.align(Query(r))) for r in reads]
     assert got == expected
+
+
+def test_prefetch_fold_native_equals_python(monkeypatch):
+    """mapper_prefetch_fold (one native call for lookups + secondary fold +
+    collision checks + strand fold) must produce exactly the arrays the
+    numpy pipeline (_prefetch_matches -> _fold_and_filter) produces."""
+    from mapper_tpu.align.candidates import CountingHashBlockPath
+    from mapper_tpu.align.params import AlignmentParameters
+    from mapper_tpu.native import native_prefetch_fold
+
+    rng = np.random.default_rng(17)
+    unit = "".join(rng.choice(list("ACGT"), size=100))
+    ref_text = unit * 30 + "".join(rng.choice(list("ACGT"), size=25000))
+    index = Api.new_database({"r": ref_text})
+    db = index.hashblock_database
+    params = AlignmentParameters.defaults()
+    monkeypatch.setenv("MAPPER_TPU_NATIVE_FOLD", "0")  # force the numpy path
+    checked = 0
+    for t in range(25):
+        if rng.random() < 0.3:
+            read = unit[: int(rng.integers(40, 100))] + "".join(
+                rng.choice(list("ACGT"), size=20)
+            )
+        else:
+            pos = int(rng.integers(0, 24000))
+            read = ref_text[len(unit) * 30 + pos :][: int(rng.integers(60, 200))]
+            if len(read) < 40:
+                continue
+        query = Sequence.from_text("q", read)
+        cp = CountingHashBlockPath(db, query, params)
+        seq_arr = cp.path._native_seq
+        if seq_arr is None or not seq_arr.shape[0] or cp._prefetched is None:
+            continue
+        expected = cp._fold_and_filter(seq_arr, cp._prefetched)
+        got = native_prefetch_fold(seq_arr, db, query.codes)
+        assert got is not None and expected is not None
+        e_fi, e_fo, e_rc, e_bounds, e_pop = expected
+        popular, raw_counts, bounds, fi, fo, ir = got
+        np.testing.assert_array_equal(popular, e_pop, err_msg=str(t))
+        np.testing.assert_array_equal(bounds, e_bounds, err_msg=str(t))
+        np.testing.assert_array_equal(fi, e_fi, err_msg=str(t))
+        np.testing.assert_array_equal(fo, e_fo, err_msg=str(t))
+        np.testing.assert_array_equal(ir, e_rc, err_msg=str(t))
+        # raw counts must equal the unfiltered match_block list lengths
+        for k in range(seq_arr.shape[0]):
+            raw = cp._prefetched[k]
+            np.testing.assert_equal(
+                raw_counts[k], 0 if raw is None else raw.shape[0]
+            )
+        checked += 1
+    assert checked > 10
