@@ -301,12 +301,15 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
     }
     if (y_hi == m && may_extend) row_insx[m] = prev_best[m] + p.unaligned;
 
-    // overlay pass (reuses insy row as scratch until the final min)
+    // overlay pass, pre-minned with insX: min(min(a, b), c) == min(min_ab, c)
+    // exactly, so hoisting this min out of the carried loop below keeps
+    // values bit-identical while shortening the loop's dependency chain
     for (int y = y_lo; y <= y_hi; y++) {
-      row_best[y] = prev_best[y - 1] + pr_q[y];
+      row_best[y] = std::min(prev_best[y - 1] + pr_q[y], row_insx[y]);
     }
 
-    // sequential best/insY recurrence (java:639-676)
+    // sequential best/insY recurrence (java:639-676); row_best holds
+    // min(overlay, insX) coming in and the final best going out
     double b_prev = row_best[y_lo - 1];
     double iy_prev = row_insy[y_lo - 1];
     for (int y = y_lo; y <= y_hi; y++) {
@@ -314,7 +317,7 @@ int dp_fill_traceback(const uint8_t* q, int n, const uint8_t* w, int m,
           (y < 2 || ar_q[y - 1] != 0.0) && (cr_qn[y] != 0.0);
       const double new_del = del_allowed ? b_prev + del_open : DISALLOWED;
       const double iy = std::min(new_del, iy_prev + p.del_ext);
-      const double b = std::min(std::min(row_best[y], row_insx[y]), iy);
+      const double b = std::min(row_best[y], iy);
       row_insy[y] = iy;
       row_best[y] = b;
       b_prev = b;
