@@ -424,21 +424,66 @@ inline bool can_remove_block(const Block& b, long r_start_abs) {
   return false;
 }
 
-int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
+// Pre-DP state of one local_align problem (the straight check + early
+// decisions + search-direction choice, split out so the batch entry can
+// group the surviving DP fills by geometry — see dp_fill_x4 below).
+struct PreState {
+  const uint8_t* q;
+  const uint8_t* w;
+  int qn, wn;
+  long r_start_abs;
+  int pred_local;
+  double rate;
+  // straight results
+  int qs, qe, rs, re;
+  bool have_straight;
+  double straight_aligned, straight_total, simple_pen;
+  double max_interesting, max_ins_budget, max_interesting_g;
+  bool search_reverse, may_extend;
+  std::vector<uint8_t> own_q, own_w;  // reversed inputs when search_reverse
+};
+
+constexpr int PRE_NEED_DP = -100;
+
+inline int emit_straight_blocks(const PreState& st, int32_t* blocks_out,
+                                double* total_out, double* aligned_out) {
+  blocks_out[0] = st.qs;
+  blocks_out[1] = st.rs;
+  blocks_out[2] = st.qe - st.qs;
+  blocks_out[3] = st.re - st.rs;
+  *total_out = st.straight_total;
+  *aligned_out = st.straight_aligned;
+  return 0;
+}
+
+// Everything before the DP fill.  Returns PRE_NEED_DP when the gapped DP
+// must run (st fully populated, dq/dw owned when reversed), otherwise the
+// final status (-1 none, 0 straight emitted).
+int local_align_pre(const uint8_t* q, int qn, const uint8_t* w, int wn,
                     long r_start_abs, int pred_local, bool at_ref_start,
                     bool at_ref_end, bool confident, double rate,
-                    const Params& p, const PenaltyTable& tbl,
-                    int32_t* blocks_out, int max_blocks, double* total_out,
+                    const Params& p, const PenaltyTable& tbl, PreState& st,
+                    int32_t* blocks_out, double* total_out,
                     double* aligned_out, DpScratch& scratch) {
   if (qn == 0 || wn == 0) return -1;
+  st.q = q;
+  st.w = w;
+  st.qn = qn;
+  st.wn = wn;
+  st.r_start_abs = r_start_abs;
+  st.pred_local = pred_local;
+  st.rate = rate;
   const double max_interesting = qn * rate;
+  st.max_interesting = max_interesting;
 
   // --- straight_alignment (StraightAligner.straightAlignment, java:73-94) ---
   int qs = 0, qe = qn, rs = 0, re = wn;
   const int off = pred_local;
   if (qs + off > rs) rs = qs + off; else qs = rs - off;
   if (qe + off < re) re = qe + off; else qe = re - off;
+  st.qs = qs; st.qe = qe; st.rs = rs; st.re = re;
   const bool have_straight = qe > qs;
+  st.have_straight = have_straight;
   double straight_aligned = 0.0, straight_total = 0.0;
   if (have_straight) {
     const int len = qe - qs;
@@ -448,29 +493,26 @@ int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
     straight_aligned = pairwise_sum(scratch.pens.data(), len);
     straight_total = straight_aligned + (qn - len) * p.unaligned;
   }
+  st.straight_aligned = straight_aligned;
+  st.straight_total = straight_total;
   const double simple_pen = have_straight
                                 ? straight_aligned
                                 : std::numeric_limits<double>::infinity();
-  auto emit_straight = [&]() -> int {
-    blocks_out[0] = qs;
-    blocks_out[1] = rs;
-    blocks_out[2] = qe - qs;
-    blocks_out[3] = re - rs;
-    *total_out = straight_total;
-    *aligned_out = straight_aligned;
-    return 0;
-  };
+  st.simple_pen = simple_pen;
 
-  if (have_straight && simple_pen <= 0.0) return emit_straight();
+  if (have_straight && simple_pen <= 0.0)
+    return emit_straight_blocks(st, blocks_out, total_out, aligned_out);
 
   const double indel_penalty = std::min(p.starting_ins_start + p.ins_ext,
                                         p.del_start + p.del_ext);
   const double max_ins_budget = max_interesting - p.ins_start;
   const double max_del_budget = max_interesting - p.del_start;
+  st.max_ins_budget = max_ins_budget;
   if (confident && have_straight) {
     if (simple_pen <= indel_penalty ||
         (max_ins_budget <= 0.0 && max_del_budget <= 0.0)) {
-      if (simple_pen <= max_interesting) return emit_straight();
+      if (simple_pen <= max_interesting)
+        return emit_straight_blocks(st, blocks_out, total_out, aligned_out);
       return -1;
     }
     if (indel_penalty > max_interesting) return -1;
@@ -480,60 +522,75 @@ int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
   int num_amb = 0;
   for (int i = 0; i < wn; i++)
     if (popcount4(w[i]) != 1) num_amb++;
+  if (num_amb >= wn / 4) {
+    // no gapped search: straight decides alone
+    if (have_straight && simple_pen <= max_interesting)
+      return emit_straight_blocks(st, blocks_out, total_out, aligned_out);
+    return -1;
+  }
+
+  double gap_rate = rate;
+  if (have_straight) {
+    const double sr = simple_pen / qn;
+    if (sr < rate) gap_rate = sr;
+  }
+  st.max_interesting_g = qn * gap_rate;
+
+  // --- path_align: search direction (chooseSearchReverse, java:17-53) ---
+  const int diagonal = -pred_local;
+  const int ov_start = std::max(0, -pred_local);
+  const int ov_end = std::min(qn, wn - pred_local);
+  const int overlap_length = std::max(0, ov_end - ov_start);
+  long n_mismatch = 0, n_valid = 0, sum_mismatch = 0, sum_valid = 0;
+  for (int i = 0; i < overlap_length; i++) {
+    const int j = i - diagonal;
+    if (j < 0 || j >= wn) continue;
+    n_valid++;
+    sum_valid += i;
+    if ((q[i] & w[j] & 0xF) == 0) {
+      n_mismatch++;
+      sum_mismatch += i;
+    }
+  }
+  const long n_match = n_valid - n_mismatch;
+  bool search_reverse = true;
+  if (n_mismatch > 1 && n_match > 1) {
+    const long sum_match = sum_valid - sum_mismatch;
+    search_reverse = (sum_mismatch / n_mismatch) > (sum_match / n_match);
+  }
+  st.search_reverse = search_reverse;
+  st.may_extend = search_reverse ? at_ref_start : at_ref_end;
+  if (search_reverse) {
+    st.own_q.resize(qn);
+    st.own_w.resize(wn);
+    for (int i = 0; i < qn; i++) st.own_q[i] = q[qn - 1 - i];
+    for (int i = 0; i < wn; i++) st.own_w[i] = w[wn - 1 - i];
+  }
+  return PRE_NEED_DP;
+}
+
+// Everything after the DP fill: section building, justify, penalties, and
+// the straight-vs-gapped tie rules.  `nb` is dp_fill_traceback's return for
+// this problem (raw goal-to-start blocks already in blocks_out).
+int local_align_post(const PreState& st, int nb, const Params& p,
+                     const PenaltyTable& tbl, int32_t* blocks_out,
+                     int max_blocks, double* total_out, double* aligned_out,
+                     DpScratch& scratch) {
+  const uint8_t* q = st.q;
+  const uint8_t* w = st.w;
+  const int qn = st.qn;
+  const int wn = st.wn;
+  const double max_interesting = st.max_interesting;
+  const double max_interesting_g = st.max_interesting_g;
+  const bool have_straight = st.have_straight;
+  const double simple_pen = st.simple_pen;
+  const bool search_reverse = st.search_reverse;
   bool has_gapped = false;
   double gapped_aligned = 0.0, gapped_total = 0.0;
   int gapped_nb = 0;
   std::vector<Block> sections;
 
-  if (num_amb < wn / 4) {
-    double gap_rate = rate;
-    if (have_straight) {
-      const double sr = simple_pen / qn;
-      if (sr < rate) gap_rate = sr;
-    }
-    const double max_interesting_g = qn * gap_rate;
-
-    // --- path_align: search direction (chooseSearchReverse, java:17-53) ---
-    const int diagonal = -pred_local;
-    const int ov_start = std::max(0, -pred_local);
-    const int ov_end = std::min(qn, wn - pred_local);
-    const int overlap_length = std::max(0, ov_end - ov_start);
-    long n_mismatch = 0, n_valid = 0, sum_mismatch = 0, sum_valid = 0;
-    for (int i = 0; i < overlap_length; i++) {
-      const int j = i - diagonal;
-      if (j < 0 || j >= wn) continue;
-      n_valid++;
-      sum_valid += i;
-      if ((q[i] & w[j] & 0xF) == 0) {
-        n_mismatch++;
-        sum_mismatch += i;
-      }
-    }
-    const long n_match = n_valid - n_mismatch;
-    bool search_reverse = true;
-    if (n_mismatch > 1 && n_match > 1) {
-      const long sum_match = sum_valid - sum_mismatch;
-      search_reverse = (sum_mismatch / n_mismatch) > (sum_match / n_match);
-    }
-
-    const bool may_extend = search_reverse ? at_ref_start : at_ref_end;
-    const uint8_t* dq = q;
-    const uint8_t* dw = w;
-    if (search_reverse) {
-      scratch.rev_q.resize(qn);
-      scratch.rev_w.resize(wn);
-      for (int i = 0; i < qn; i++) scratch.rev_q[i] = q[qn - 1 - i];
-      for (int i = 0; i < wn; i++) scratch.rev_w[i] = w[wn - 1 - i];
-      dq = scratch.rev_q.data();
-      dw = scratch.rev_w.data();
-    }
-
-    // raw DP blocks land in the caller's buffer (goal-to-start order)
-    double goal = 0.0;
-    const int nb = dp_fill_traceback(dq, qn, dw, wn, p, tbl,
-                                     may_extend ? 1 : 0, max_ins_budget,
-                                     max_interesting_g, blocks_out, max_blocks,
-                                     &goal, scratch);
+  {
     if (nb == -2) return -2;
     if (nb > 0) {
       sections.clear();
@@ -583,7 +640,7 @@ int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
       // drop removable leading sections (PathAligner.canRemoveSection)
       size_t first = 0;
       while (first < sections.size() &&
-             can_remove_block(sections[first], r_start_abs))
+             can_remove_block(sections[first], st.r_start_abs))
         first++;
       if (first > 0) sections.erase(sections.begin(), sections.begin() + first);
 
@@ -624,7 +681,8 @@ int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
 
   // --- straight-vs-gapped tie rules (dp.py::local_align tail) ---
   if (!has_gapped || (have_straight && gapped_aligned >= simple_pen)) {
-    if (have_straight && simple_pen <= max_interesting) return emit_straight();
+    if (have_straight && simple_pen <= max_interesting)
+      return emit_straight_blocks(st, blocks_out, total_out, aligned_out);
   }
   if (!has_gapped) return -1;
   if (gapped_nb > max_blocks) return -2;
@@ -638,6 +696,347 @@ int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
   *total_out = gapped_total;
   *aligned_out = gapped_aligned;
   return gapped_nb;  // >= 1 means gapped with this many blocks
+}
+
+// ---------------------------------------------------------------------------
+// Four-lane DP fill: four problems with IDENTICAL geometry (n, m, may_extend,
+// budgets — the banded-fill shape depends only on those, never on the
+// predicted offset or the sequence content) run in lane-interleaved state
+// arrays, so every fill pass — including the loop-carried best/insY
+// recurrence, whose dependency is along y while lanes stay independent —
+// vectorizes 4-wide.  Values are bit-identical to dp_fill_traceback lane by
+// lane: same adds and mins in the same order, just four problems at once.
+// The traceback runs per lane on the strided state.
+
+struct DpScratch4 {
+  std::vector<double> best, insx, insy;          // cells * 4, lane-minor
+  std::vector<int> wlo, whi;
+  std::vector<double> penrow, arow, crow;        // [lane][code][y]
+  std::vector<double> ipr, iarp, icrq, icrn, iarq;  // per-row slices * 4
+};
+
+void dp_fill_x4(const uint8_t* const qs[4], int n, const uint8_t* const ws[4],
+                int m, const Params& p, const PenaltyTable& tbl,
+                int may_extend, double max_ins_ext, double max_interesting,
+                int32_t* const blocks_out[4], int max_blocks,
+                int nb_out[4], double goal_out[4], DpScratch4& s) {
+  const int stride = m + 1;
+  const size_t cells = static_cast<size_t>(n + 1) * stride * 4;
+  if (s.best.size() < cells) {
+    s.best.resize(cells);
+    s.insx.resize(cells);
+    s.insy.resize(cells);
+  }
+  if (s.wlo.size() < static_cast<size_t>(n + 1)) {
+    s.wlo.resize(n + 1);
+    s.whi.resize(n + 1);
+  }
+  std::vector<int>& wlo = s.wlo;
+  std::vector<int>& whi = s.whi;
+  double* best = s.best.data();
+  double* insx = s.insx.data();
+  double* insy = s.insy.data();
+  auto idx = [&](int x, int y) -> size_t {
+    return (static_cast<size_t>(x) * stride + y) * 4;
+  };
+
+  const double ins_open = p.ins_start + p.ins_ext;
+  const double del_open = p.del_start + p.del_ext;
+  const int init_ins_count =
+      may_extend ? static_cast<int>(max_ins_ext / p.del_ext) : 0;
+  const int init_limit = std::min(init_ins_count, n + 1);
+  auto col0_B = [&](int x) -> double {
+    if (x == 0) return 0.0;
+    if (may_extend && x < init_limit) return x * p.unaligned;
+    if (m < n && x <= n - m) return 0.0;
+    return DISALLOWED;
+  };
+
+  for (int j = 0; j <= m; j++) {
+    const double b0 = ((m >= n && j <= m - n) || j == 0) ? 0.0 : DISALLOWED;
+    const double ix0 = (m >= n && j <= m - n && may_extend)
+                           ? p.starting_ins_start
+                           : DISALLOWED;
+    for (int l = 0; l < 4; l++) {
+      best[idx(0, j) + l] = b0;
+      insx[idx(0, j) + l] = ix0;
+      insy[idx(0, j) + l] = DISALLOWED;
+    }
+  }
+  wlo[0] = 0;
+  whi[0] = m;
+
+  int lo_span = n + m + 1, hi_span = n + m + 1;
+  if (!may_extend) {
+    const double eps_budget = max_interesting + 0.000001;
+    const double ins0 = std::min(p.ins_start, p.starting_ins_start);
+    const double span_cap = static_cast<double>(n + m + 1);
+    if (p.ins_ext > 0) {
+      const double k = (eps_budget - ins0) / p.ins_ext;
+      lo_span = k < 0 ? 0 : static_cast<int>(std::min(k, span_cap));
+    }
+    if (p.del_ext > 0) {
+      const double k = (eps_budget - p.del_start) / p.del_ext;
+      hi_span = k < 0 ? 0 : static_cast<int>(std::min(k, span_cap));
+    }
+  }
+  const int slack_lo = std::min(0, m - n);
+  const int slack_hi = std::max(0, m - n);
+
+  // per-lane per-code window rows (same trick as the scalar fill)
+  const int prow_stride = m + 2;
+  const size_t lane_rows = static_cast<size_t>(16) * prow_stride;
+  if (s.penrow.size() < 4 * lane_rows) {
+    s.penrow.resize(4 * lane_rows);
+    s.arow.resize(4 * lane_rows);
+    s.crow.resize(4 * lane_rows);
+  }
+  if (s.ipr.size() < static_cast<size_t>(prow_stride))
+    s.ipr.assign(prow_stride, 1.0);  // shared all-ones row
+  const double* ones_row = s.ipr.data();
+  uint8_t built[4][16] = {};
+  auto rows_of = [&](int l, uint8_t code) -> size_t {
+    const int c = code & 0xF;
+    const size_t base = l * lane_rows + static_cast<size_t>(c) * prow_stride;
+    if (!built[l][c]) {
+      double* pr = &s.penrow[base];
+      double* ar = &s.arow[base];
+      double* cr = &s.crow[base];
+      const double* t = tbl.t[c];
+      const bool amb_c = fully_ambiguous(static_cast<uint8_t>(c));
+      const uint8_t* w = ws[l];
+      for (int y = 1; y <= m; y++) {
+        const uint8_t wy = w[y - 1];
+        const double np = t[wy & 0xF];
+        pr[y] = np;
+        ar[y] = can_match(static_cast<uint8_t>(c), wy) ? 1.0 : 0.0;
+        cr[y] = (np == 0.0 || amb_c || fully_ambiguous(wy)) ? 0.0 : 1.0;
+      }
+      cr[m + 1] = 1.0;
+      built[l][c] = 1;
+    }
+    return base;
+  };
+
+  for (int x = 1; x <= n; x++) {
+    int y_lo = 1, y_hi = m;
+    if (!may_extend) {
+      y_lo = std::max(1, x + slack_lo - lo_span);
+      y_hi = std::min(m, x + slack_hi + hi_span);
+    }
+    const double c0 = col0_B(x);
+    for (int l = 0; l < 4; l++) {
+      best[idx(x, 0) + l] = c0;
+      insx[idx(x, 0) + l] = DISALLOWED;
+      insy[idx(x, 0) + l] = DISALLOWED;
+    }
+    if (y_lo >= 2)
+      for (int l = 0; l < 4; l++) {
+        best[idx(x, y_lo - 1) + l] = DISALLOWED;
+        insx[idx(x, y_lo - 1) + l] = DISALLOWED;
+        insy[idx(x, y_lo - 1) + l] = DISALLOWED;
+      }
+    if (y_hi < m)
+      for (int l = 0; l < 4; l++) {
+        best[idx(x, y_hi + 1) + l] = DISALLOWED;
+        insx[idx(x, y_hi + 1) + l] = DISALLOWED;
+        insy[idx(x, y_hi + 1) + l] = DISALLOWED;
+      }
+    wlo[x] = y_lo >= 2 ? y_lo - 1 : 0;
+    whi[x] = y_hi < m ? y_hi + 1 : m;
+    if (y_hi < y_lo) continue;
+
+    // per-lane row pointers (no interleaved copies — the lane loops below
+    // read the four independent rows directly; restrict-qualified state
+    // pointers let the fixed-4 inner loops SLP-vectorize)
+    const bool have_qprev = x >= 2;
+    const bool have_qnext = x < n;
+    const double* pr4[4];
+    const double* arq4[4];
+    const double* crq4[4];
+    const double* crn4[4];
+    const double* arp4[4];
+    for (int l = 0; l < 4; l++) {
+      const uint8_t qc = qs[l][x - 1];
+      pr4[l] = &s.penrow[rows_of(l, qc)];
+      arq4[l] = &s.arow[rows_of(l, qc)];
+      crq4[l] = &s.crow[rows_of(l, qc)];
+      crn4[l] = have_qnext ? &s.crow[rows_of(l, qs[l][x])] : ones_row;
+      arp4[l] = have_qprev ? &s.arow[rows_of(l, qs[l][x - 2])] : ones_row;
+    }
+
+    const double* __restrict prev_best = &best[idx(x - 1, 0)];
+    const double* __restrict prev_insx = &insx[idx(x - 1, 0)];
+    double* __restrict row_best = &best[idx(x, 0)];
+    double* __restrict row_insx = &insx[idx(x, 0)];
+    double* __restrict row_insy = &insy[idx(x, 0)];
+
+    // insX pass
+    for (int y = y_lo; y <= y_hi; y++) {
+      for (int l = 0; l < 4; l++) {
+        const bool allowed =
+            (arp4[l][y] != 0.0) & (crq4[l][y + 1] != 0.0);
+        const double new_ins =
+            allowed ? prev_best[y * 4 + l] + ins_open : DISALLOWED;
+        row_insx[y * 4 + l] =
+            std::min(new_ins, prev_insx[y * 4 + l] + p.ins_ext);
+      }
+    }
+    if (y_hi == m && may_extend)
+      for (int l = 0; l < 4; l++)
+        row_insx[m * 4 + l] = prev_best[m * 4 + l] + p.unaligned;
+
+    // overlay pass, pre-minned with insX (as in the scalar fill)
+    for (int y = y_lo; y <= y_hi; y++)
+      for (int l = 0; l < 4; l++)
+        row_best[y * 4 + l] = std::min(
+            prev_best[(y - 1) * 4 + l] + pr4[l][y], row_insx[y * 4 + l]);
+
+    // sequential best/insY recurrence — carried along y, vector across lanes
+    double b_prev[4], iy_prev[4];
+    for (int l = 0; l < 4; l++) {
+      b_prev[l] = row_best[(y_lo - 1) * 4 + l];
+      iy_prev[l] = row_insy[(y_lo - 1) * 4 + l];
+    }
+    // (arq4 row index y-1 is only read for y >= 2; arow[0] is allocated,
+    // its value masked out by the y < 2 term folded in via max(y-1, 0) and
+    // an explicit first-iteration peel)
+    int y = y_lo;
+    for (; y < std::min(y_lo + 1, 2); y++) {  // peel y < 2 (y_lo >= 1)
+      for (int l = 0; l < 4; l++) {
+        const bool del_allowed = crn4[l][y] != 0.0;
+        const double new_del =
+            del_allowed ? b_prev[l] + del_open : DISALLOWED;
+        const double iy = std::min(new_del, iy_prev[l] + p.del_ext);
+        const double b = std::min(row_best[y * 4 + l], iy);
+        row_insy[y * 4 + l] = iy;
+        row_best[y * 4 + l] = b;
+        b_prev[l] = b;
+        iy_prev[l] = iy;
+      }
+    }
+    for (; y <= y_hi; y++) {
+      for (int l = 0; l < 4; l++) {
+        const bool del_allowed =
+            (arq4[l][y - 1] != 0.0) & (crn4[l][y] != 0.0);
+        const double new_del =
+            del_allowed ? b_prev[l] + del_open : DISALLOWED;
+        const double iy = std::min(new_del, iy_prev[l] + p.del_ext);
+        const double b = std::min(row_best[y * 4 + l], iy);
+        row_insy[y * 4 + l] = iy;
+        row_best[y * 4 + l] = b;
+        b_prev[l] = b;
+        iy_prev[l] = iy;
+      }
+    }
+  }
+
+  // per-lane goal scan + traceback (identical to the scalar fill's)
+  for (int l = 0; l < 4; l++) {
+    auto Bg = [&](int x, int y) -> double {
+      return (y == 0 || (y >= wlo[x] && y <= whi[x])) ? best[idx(x, y) + l]
+                                                      : DISALLOWED;
+    };
+    auto IXg = [&](int x, int y) -> double {
+      return (y == 0 || (y >= wlo[x] && y <= whi[x])) ? insx[idx(x, y) + l]
+                                                      : DISALLOWED;
+    };
+    auto IYg = [&](int x, int y) -> double {
+      return (y == 0 || (y >= wlo[x] && y <= whi[x])) ? insy[idx(x, y) + l]
+                                                      : DISALLOWED;
+    };
+    int goal_y = 0;
+    double goal = Bg(n, 0);
+    for (int y = 1; y <= m; y++) {
+      const double v = Bg(n, y);
+      if (v < goal) {
+        goal = v;
+        goal_y = y;
+      }
+    }
+    goal_out[l] = goal;
+    if (goal > max_interesting + 0.000001) {
+      nb_out[l] = -1;
+      continue;
+    }
+    int i = n, j = goal_y;
+    int nb = 0;
+    int32_t* out_blocks = blocks_out[l];
+    bool overflow = false;
+    auto emit = [&](int sa, int sb, int la, int lb) -> bool {
+      if (nb >= max_blocks) return false;
+      int32_t* row = out_blocks + static_cast<size_t>(nb) * 4;
+      row[0] = sa; row[1] = sb; row[2] = la; row[3] = lb;
+      nb++;
+      return true;
+    };
+    while (i != 0 && j == m && may_extend && Bg(i, j) == IXg(i, j) &&
+           IXg(i, j) == Bg(i - 1, j) + p.unaligned) {
+      i -= 1;
+    }
+    while (i != 0 && j != 0) {
+      const double b = Bg(i, j);
+      if (b == IXg(i, j) && !(j == m && may_extend)) {
+        const int old_i = i;
+        i -= 1;
+        while (i != 0) {
+          const double other_new = Bg(i, j) + ins_open;
+          const double other_ext = IXg(i, j) + p.ins_ext;
+          if (other_new < other_ext) break;
+          i -= 1;
+        }
+        if (!emit(i, j, old_i - i, 0)) { overflow = true; break; }
+      } else if (b == IXg(i, j) && j == m && may_extend) {
+        i -= 1;  // unaligned trailing step: no block
+      } else if (b == IYg(i, j)) {
+        const int old_j = j;
+        j -= 1;
+        while (j != 0) {
+          const double other_new = Bg(i, j) + del_open;
+          const double other_ext = IYg(i, j) + p.del_ext;
+          if (other_new < other_ext) break;
+          j -= 1;
+        }
+        if (!emit(i, j, 0, old_j - j)) { overflow = true; break; }
+      } else {
+        const int old_i = i, old_j = j;
+        i -= 1;
+        j -= 1;
+        while (i != 0 && j != 0) {
+          if (Bg(i, j) == IXg(i, j) || Bg(i, j) == IYg(i, j)) break;
+          i -= 1;
+          j -= 1;
+        }
+        if (!emit(i, j, old_i - i, old_j - j)) { overflow = true; break; }
+      }
+    }
+    nb_out[l] = overflow ? -2 : nb;
+  }
+}
+
+// The serial entry: pre -> scalar fill -> post (the batch entry below groups
+// the fills instead).
+int local_align_one(const uint8_t* q, int qn, const uint8_t* w, int wn,
+                    long r_start_abs, int pred_local, bool at_ref_start,
+                    bool at_ref_end, bool confident, double rate,
+                    const Params& p, const PenaltyTable& tbl,
+                    int32_t* blocks_out, int max_blocks, double* total_out,
+                    double* aligned_out, DpScratch& scratch) {
+  PreState st;
+  const int pre = local_align_pre(q, qn, w, wn, r_start_abs, pred_local,
+                                  at_ref_start, at_ref_end, confident, rate,
+                                  p, tbl, st, blocks_out, total_out,
+                                  aligned_out, scratch);
+  if (pre != PRE_NEED_DP) return pre;
+  const uint8_t* dq = st.search_reverse ? st.own_q.data() : q;
+  const uint8_t* dw = st.search_reverse ? st.own_w.data() : w;
+  double goal = 0.0;
+  const int nb = dp_fill_traceback(dq, qn, dw, wn, p, tbl,
+                                   st.may_extend ? 1 : 0, st.max_ins_budget,
+                                   st.max_interesting_g, blocks_out,
+                                   max_blocks, &goal, scratch);
+  return local_align_post(st, nb, p, tbl, blocks_out, max_blocks, total_out,
+                          aligned_out, scratch);
 }
 
 // ---------------------------------------------------------------------------
@@ -1268,26 +1667,166 @@ void mapper_local_align_batch(
   Params p;
   std::memcpy(&p, params_in, sizeof(Params));
   const PenaltyTable tbl(p);
+  // Opt-in (MAPPER_TPU_SIMD_WAVE=1): the four-lane grouped fill is measured
+  // SLOWER than the scalar path on this toolchain (273 vs 118 ms per
+  // 3042-problem wave) — the per-lane per-code row pointers defeat GCC's SLP
+  // vectorizer, and interleaving them costs more than the lanes save
+  // (BENCH.md "SIMD wave experiment").  The machinery and its differential
+  // test stay in-tree for a future intrinsics pass.
+  const char* env = getenv("MAPPER_TPU_SIMD_WAVE");
+  const bool use_x4 = env && env[0] == '1';
+
+  auto write_status = [&](int i, int r) {
+    if (r == -1 || r == -2) {
+      out_status[i] = static_cast<int8_t>(r);
+      out_nblocks[i] = 0;
+    } else if (r == 0) {
+      out_status[i] = 0;
+      out_nblocks[i] = 1;
+    } else {
+      out_status[i] = 1;
+      out_nblocks[i] = r;
+    }
+  };
+  auto blocks_of = [&](int i) -> int32_t* {
+    return out_blocks + static_cast<size_t>(i) * max_blocks_per * 4;
+  };
+
+  if (!use_x4) {
+#pragma omp parallel
+    {
+      DpScratch scratch;
+#pragma omp for schedule(dynamic, 8)
+      for (int i = 0; i < k; i++) {
+        const int r = local_align_one(
+            qbuf + q_off[i], q_len[i], wbuf + w_off[i], w_len[i],
+            r_start_abs[i], pred_local[i], at_ref_start[i] != 0,
+            at_ref_end[i] != 0, confident[i] != 0, rates[i], p, tbl,
+            blocks_of(i), max_blocks_per, &out_total[i], &out_aligned[i],
+            scratch);
+        write_status(i, r);
+      }
+    }
+    return;
+  }
+
+  // stage 1: pre per problem (straight check, early exits, search direction)
+  std::vector<PreState> states(k);
+  std::vector<int8_t> need_dp(k, 0);
 #pragma omp parallel
   {
     DpScratch scratch;
-#pragma omp for schedule(dynamic, 8)
+#pragma omp for schedule(dynamic, 16)
     for (int i = 0; i < k; i++) {
-      int32_t* blocks_i = out_blocks + static_cast<size_t>(i) * max_blocks_per * 4;
-      const int r = local_align_one(
-          qbuf + q_off[i], q_len[i], wbuf + w_off[i], w_len[i], r_start_abs[i],
-          pred_local[i], at_ref_start[i] != 0, at_ref_end[i] != 0,
-          confident[i] != 0, rates[i], p, tbl, blocks_i, max_blocks_per,
-          &out_total[i], &out_aligned[i], scratch);
-      if (r == -1 || r == -2) {
-        out_status[i] = static_cast<int8_t>(r);
-        out_nblocks[i] = 0;
-      } else if (r == 0) {
-        out_status[i] = 0;
-        out_nblocks[i] = 1;
+      const int r = local_align_pre(
+          qbuf + q_off[i], q_len[i], wbuf + w_off[i], w_len[i],
+          r_start_abs[i], pred_local[i], at_ref_start[i] != 0,
+          at_ref_end[i] != 0, confident[i] != 0, rates[i], p, tbl, states[i],
+          blocks_of(i), &out_total[i], &out_aligned[i], scratch);
+      if (r == PRE_NEED_DP) {
+        need_dp[i] = 1;
       } else {
-        out_status[i] = 1;
-        out_nblocks[i] = r;
+        write_status(i, r);
+      }
+    }
+  }
+
+  // stage 2: group DP fills by exact geometry — the banded fill's shape
+  // depends only on (n, m, may_extend, budgets), so same-key problems run
+  // four-at-a-time in SIMD lanes with bit-identical per-lane values
+  struct Key {
+    int qn, wn;
+    bool may_extend;
+    uint64_t ins_bits, mig_bits;
+    bool operator<(const Key& o) const {
+      if (qn != o.qn) return qn < o.qn;
+      if (wn != o.wn) return wn < o.wn;
+      if (may_extend != o.may_extend) return may_extend < o.may_extend;
+      if (ins_bits != o.ins_bits) return ins_bits < o.ins_bits;
+      return mig_bits < o.mig_bits;
+    }
+  };
+  std::map<Key, std::vector<int>> groups;
+  for (int i = 0; i < k; i++) {
+    if (!need_dp[i]) continue;
+    const PreState& st = states[i];
+    Key key;
+    key.qn = st.qn;
+    key.wn = st.wn;
+    key.may_extend = st.may_extend;
+    std::memcpy(&key.ins_bits, &st.max_ins_budget, 8);
+    std::memcpy(&key.mig_bits, &st.max_interesting_g, 8);
+    groups[key].push_back(i);
+  }
+  struct WorkItem {
+    int idx[4];
+    int n;
+  };
+  std::vector<WorkItem> items;
+  for (auto& kv : groups) {
+    const std::vector<int>& g = kv.second;
+    size_t pos = 0;
+    while (pos + 4 <= g.size()) {
+      items.push_back(WorkItem{{g[pos], g[pos + 1], g[pos + 2], g[pos + 3]}, 4});
+      pos += 4;
+    }
+    while (pos < g.size()) {
+      items.push_back(WorkItem{{g[pos], 0, 0, 0}, 1});
+      pos++;
+    }
+  }
+
+  // stage 3: grouped fills + per-problem post
+  const int num_items = static_cast<int>(items.size());
+#pragma omp parallel
+  {
+    DpScratch scratch;
+    DpScratch4 s4;
+#pragma omp for schedule(dynamic, 1)
+    for (int it = 0; it < num_items; it++) {
+      const WorkItem& wi = items[it];
+      if (wi.n == 4) {
+        const uint8_t* qs4[4];
+        const uint8_t* ws4[4];
+        int32_t* b4[4];
+        for (int l = 0; l < 4; l++) {
+          const PreState& st = states[wi.idx[l]];
+          qs4[l] = st.search_reverse ? st.own_q.data()
+                                     : qbuf + q_off[wi.idx[l]];
+          ws4[l] = st.search_reverse ? st.own_w.data()
+                                     : wbuf + w_off[wi.idx[l]];
+          b4[l] = blocks_of(wi.idx[l]);
+        }
+        const PreState& st0 = states[wi.idx[0]];
+        int nb4[4];
+        double goal4[4];
+        dp_fill_x4(qs4, st0.qn, ws4, st0.wn, p, tbl,
+                   st0.may_extend ? 1 : 0, st0.max_ins_budget,
+                   st0.max_interesting_g, b4, max_blocks_per, nb4, goal4, s4);
+        for (int l = 0; l < 4; l++) {
+          const int i = wi.idx[l];
+          const int r = local_align_post(states[i], nb4[l], p, tbl,
+                                         blocks_of(i), max_blocks_per,
+                                         &out_total[i], &out_aligned[i],
+                                         scratch);
+          write_status(i, r);
+        }
+      } else {
+        const int i = wi.idx[0];
+        const PreState& st = states[i];
+        const uint8_t* dq =
+            st.search_reverse ? st.own_q.data() : qbuf + q_off[i];
+        const uint8_t* dw =
+            st.search_reverse ? st.own_w.data() : wbuf + w_off[i];
+        double goal = 0.0;
+        const int nb = dp_fill_traceback(
+            dq, st.qn, dw, st.wn, p, tbl, st.may_extend ? 1 : 0,
+            st.max_ins_budget, st.max_interesting_g, blocks_of(i),
+            max_blocks_per, &goal, scratch);
+        const int r = local_align_post(st, nb, p, tbl, blocks_of(i),
+                                       max_blocks_per, &out_total[i],
+                                       &out_aligned[i], scratch);
+        write_status(i, r);
       }
     }
   }

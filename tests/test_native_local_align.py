@@ -304,3 +304,72 @@ def test_native_local_align_batch_matches_serial(monkeypatch):
         assert got_blocks == exp_blocks, i
         assert float(total[i]) == oracle.get_penalty(), i
         assert float(aligned[i]) == oracle.get_aligned_penalty(), i
+
+
+def test_simd_wave_batch_matches_scalar(monkeypatch):
+    """The grouped four-lane wave fill (dp.cpp::dp_fill_x4, MAPPER_TPU_SIMD_WAVE)
+    must produce byte-identical outputs to the per-problem scalar path for
+    every problem of a mixed batch (varying predicted offsets, rates, edge
+    flags, ambiguity — the grouping must never change results)."""
+    import numpy as np
+
+    from mapper_tpu import AlignmentParameters
+    from mapper_tpu.native import native_local_align_batch, get_library
+
+    if get_library() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(23)
+    codes4 = np.array([1, 2, 4, 8], dtype=np.uint8)
+    qparts, wparts = [], []
+    q_off, q_len, w_off, w_len = [], [], [], []
+    r_starts, preds, at_s, at_e, conf, rates = [], [], [], [], [], []
+    qo = wo = 0
+    k = 240
+    for i in range(k):
+        n = int(rng.choice([100, 150, 150, 150]))
+        pad = int(rng.integers(5, 40))
+        ref = codes4[rng.integers(0, 4, size=n + 2 * pad)]
+        q = ref[pad : pad + n].copy()
+        for _ in range(int(rng.integers(0, 8))):
+            q[rng.integers(0, n)] = codes4[rng.integers(0, 4)]
+        if rng.random() < 0.6:
+            j = int(rng.integers(10, n - 10))
+            d = int(rng.integers(1, 4))
+            if rng.random() < 0.5:
+                q = np.concatenate([q[:j], q[j + d:]])
+            else:
+                q = np.concatenate([q[:j], codes4[rng.integers(0, 4, size=d)], q[j:]])
+        if rng.random() < 0.1:
+            q[int(rng.integers(0, len(q)))] = 15  # ambiguity
+        qparts.append(q)
+        wparts.append(ref)
+        q_off.append(qo); q_len.append(len(q))
+        w_off.append(wo); w_len.append(len(ref))
+        qo += len(q); wo += len(ref)
+        r_starts.append(int(rng.integers(0, 1000)))
+        preds.append(pad + int(rng.integers(-3, 4)))
+        at_s.append(bool(rng.random() < 0.1))
+        at_e.append(bool(rng.random() < 0.1))
+        conf.append(bool(rng.random() < 0.7))
+        rates.append(float(rng.choice([0.1, 0.1, 0.1, 0.2])))
+
+    args = (
+        np.concatenate(qparts), np.array(q_off, np.int64), np.array(q_len, np.int32),
+        np.concatenate(wparts), np.array(w_off, np.int64), np.array(w_len, np.int32),
+        np.array(r_starts, np.int64), np.array(preds, np.int32),
+        np.array(at_s, np.uint8), np.array(at_e, np.uint8),
+        np.array(conf, np.uint8), np.array(rates, np.float64),
+        AlignmentParameters.defaults(),
+    )
+    monkeypatch.setenv("MAPPER_TPU_SIMD_WAVE", "0")
+    scalar = native_local_align_batch(*args)
+    monkeypatch.setenv("MAPPER_TPU_SIMD_WAVE", "1")
+    simd = native_local_align_batch(*args)
+    for a, b, name in zip(scalar, simd, ("status", "nblocks", "blocks", "total", "aligned")):
+        if name == "blocks":
+            for i in range(k):
+                nb = int(scalar[1][i])
+                np.testing.assert_array_equal(a[i, :nb], b[i, :nb], err_msg=f"row {i}")
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
