@@ -21,6 +21,7 @@
 // Binding: ctypes (mapper_tpu/native/__init__.py).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -30,6 +31,10 @@
 #include <map>
 #include <set>
 #include <string>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -712,7 +717,7 @@ struct DpScratch4 {
   std::vector<double> best, insx, insy;          // cells * 4, lane-minor
   std::vector<int> wlo, whi;
   std::vector<double> penrow, arow, crow;        // [lane][code][y]
-  std::vector<double> ipr, iarp, icrq, icrn, iarq;  // per-row slices * 4
+  std::vector<int64_t> wcodes;                   // interleaved window codes
 };
 
 void dp_fill_x4(const uint8_t* const qs[4], int n, const uint8_t* const ws[4],
@@ -783,18 +788,36 @@ void dp_fill_x4(const uint8_t* const qs[4], int n, const uint8_t* const ws[4],
   const int slack_lo = std::min(0, m - n);
   const int slack_hi = std::max(0, m - n);
 
-  // per-lane per-code window rows (same trick as the scalar fill)
+  // per-lane per-code window rows (same trick as the scalar fill); slot 16
+  // of lane 0 is an all-ones row (so the "no constraint" cases gather from
+  // the same base arrays as the real rows)
   const int prow_stride = m + 2;
   const size_t lane_rows = static_cast<size_t>(16) * prow_stride;
-  if (s.penrow.size() < 4 * lane_rows) {
-    s.penrow.resize(4 * lane_rows);
-    s.arow.resize(4 * lane_rows);
-    s.crow.resize(4 * lane_rows);
+  const size_t ones_off = 4 * lane_rows;
+  if (s.penrow.size() < 4 * lane_rows + prow_stride) {
+    s.penrow.resize(4 * lane_rows + prow_stride);
+    s.arow.resize(4 * lane_rows + prow_stride);
+    s.crow.resize(4 * lane_rows + prow_stride);
   }
-  if (s.ipr.size() < static_cast<size_t>(prow_stride))
-    s.ipr.assign(prow_stride, 1.0);  // shared all-ones row
-  const double* ones_row = s.ipr.data();
+  for (int y = 0; y < prow_stride; y++) {
+    s.arow[ones_off + y] = 1.0;
+    s.crow[ones_off + y] = 1.0;
+  }
+  const double* ones_row = &s.arow[ones_off];
   uint8_t built[4][16] = {};
+#if defined(__AVX2__)
+  // interleaved window codes: wi[y*4+l] = w_l[y-1] (y in 1..m) — the mask
+  // terms (can-match, ambiguity, zero-penalty) all derive from these with
+  // integer vector ops, replacing four of the five per-y gathers
+  if (s.wcodes.size() < static_cast<size_t>(prow_stride) * 4)
+    s.wcodes.resize(static_cast<size_t>(prow_stride) * 4);
+  int64_t* wi = s.wcodes.data();
+  for (int l = 0; l < 4; l++) {
+    wi[0 * 4 + l] = 0;
+    for (int y = 1; y <= m; y++) wi[y * 4 + l] = ws[l][y - 1] & 0xF;
+    wi[(m + 1) * 4 + l] = 0;
+  }
+#endif
   auto rows_of = [&](int l, uint8_t code) -> size_t {
     const int c = code & 0xF;
     const size_t base = l * lane_rows + static_cast<size_t>(c) * prow_stride;
@@ -846,30 +869,216 @@ void dp_fill_x4(const uint8_t* const qs[4], int n, const uint8_t* const ws[4],
     whi[x] = y_hi < m ? y_hi + 1 : m;
     if (y_hi < y_lo) continue;
 
-    // per-lane row pointers (no interleaved copies — the lane loops below
-    // read the four independent rows directly; restrict-qualified state
-    // pointers let the fixed-4 inner loops SLP-vectorize)
+    // per-lane row offsets into the shared row stores (gather indices)
     const bool have_qprev = x >= 2;
     const bool have_qnext = x < n;
-    const double* pr4[4];
-    const double* arq4[4];
-    const double* crq4[4];
-    const double* crn4[4];
-    const double* arp4[4];
+    int64_t off_pr[4], off_arq[4], off_crq[4], off_crn[4], off_arp[4];
     for (int l = 0; l < 4; l++) {
       const uint8_t qc = qs[l][x - 1];
-      pr4[l] = &s.penrow[rows_of(l, qc)];
-      arq4[l] = &s.arow[rows_of(l, qc)];
-      crq4[l] = &s.crow[rows_of(l, qc)];
-      crn4[l] = have_qnext ? &s.crow[rows_of(l, qs[l][x])] : ones_row;
-      arp4[l] = have_qprev ? &s.arow[rows_of(l, qs[l][x - 2])] : ones_row;
+      const size_t base = rows_of(l, qc);
+      off_pr[l] = static_cast<int64_t>(base);
+      off_arq[l] = static_cast<int64_t>(base);
+      off_crq[l] = static_cast<int64_t>(base);
+      off_crn[l] = static_cast<int64_t>(
+          have_qnext ? rows_of(l, qs[l][x]) : ones_off);
+      off_arp[l] = static_cast<int64_t>(
+          have_qprev ? rows_of(l, qs[l][x - 2]) : ones_off);
     }
+    const double* penrow_base = s.penrow.data();
+    const double* arow_base = s.arow.data();
+    const double* crow_base = s.crow.data();
 
     const double* __restrict prev_best = &best[idx(x - 1, 0)];
     const double* __restrict prev_insx = &insx[idx(x - 1, 0)];
     double* __restrict row_best = &best[idx(x, 0)];
     double* __restrict row_insx = &insx[idx(x, 0)];
     double* __restrict row_insy = &insy[idx(x, 0)];
+
+#if defined(__AVX2__)
+    // Masks derive from the interleaved window codes with integer vector
+    // ops (no gathers):
+    //   can_match(c, w)     = (c & w) != 0
+    //   fully_ambiguous(w)  = w == 0xF
+    //   np(c, w) == 0.0     = (can_match && (popcount4(c|w) == 1 || amb==0))
+    //                         || (!can_match && mutation==0)
+    //   content-allow(c, w) = !(np == 0 || fully_ambiguous(c) || f.a.(w))
+    // The only remaining gather is the overlay's penalty value, cached so
+    // each gathered vector serves both the overlay (at y) and the insX
+    // content term (at y+1).
+    const __m256i v_off_pr = _mm256_loadu_si256((const __m256i*)off_pr);
+    const __m256d v_zero = _mm256_setzero_pd();
+    const __m256d v_dis = _mm256_set1_pd(DISALLOWED);
+    const __m256d v_ins_open = _mm256_set1_pd(ins_open);
+    const __m256d v_ins_ext = _mm256_set1_pd(p.ins_ext);
+    const __m256d v_del_open = _mm256_set1_pd(del_open);
+    const __m256d v_del_ext = _mm256_set1_pd(p.del_ext);
+    const __m256i vi_zero = _mm256_setzero_si256();
+    const __m256i vi_f = _mm256_set1_epi64x(0xF);
+    const bool amb_zero = p.ambiguity == 0.0;
+    const bool mut_zero = p.mutation == 0.0;
+    const __m256i v_true = _mm256_set1_epi64x(-1);
+    const __m256i v_qc = _mm256_set_epi64x(
+        qs[3][x - 1] & 0xF, qs[2][x - 1] & 0xF, qs[1][x - 1] & 0xF,
+        qs[0][x - 1] & 0xF);
+    const __m256i v_qn =
+        have_qnext ? _mm256_set_epi64x(qs[3][x] & 0xF, qs[2][x] & 0xF,
+                                       qs[1][x] & 0xF, qs[0][x] & 0xF)
+                   : vi_zero;
+    const __m256i v_qp =
+        have_qprev ? _mm256_set_epi64x(qs[3][x - 2] & 0xF, qs[2][x - 2] & 0xF,
+                                       qs[1][x - 2] & 0xF, qs[0][x - 2] & 0xF)
+                   : vi_zero;
+    // per-lane fully-ambiguous flags for qc / qnext
+    const __m256i amb_qc = _mm256_cmpeq_epi64(v_qc, vi_f);
+    const __m256i amb_qn = _mm256_cmpeq_epi64(v_qn, vi_f);
+
+    auto popcount4_v = [&](__m256i v) {
+      __m256i c = _mm256_and_si256(v, _mm256_set1_epi64x(1));
+      c = _mm256_add_epi64(
+          c, _mm256_and_si256(_mm256_srli_epi64(v, 1), _mm256_set1_epi64x(1)));
+      c = _mm256_add_epi64(
+          c, _mm256_and_si256(_mm256_srli_epi64(v, 2), _mm256_set1_epi64x(1)));
+      c = _mm256_add_epi64(
+          c, _mm256_and_si256(_mm256_srli_epi64(v, 3), _mm256_set1_epi64x(1)));
+      return c;
+    };
+    // content-allow mask for code-vector vc (with its amb flags) against
+    // window codes vw: true when a NEW indel may open next to this pair
+    auto content_allow = [&](__m256i vc, __m256i vamb_c, __m256i vw) {
+      const __m256i cm =
+          _mm256_xor_si256(_mm256_cmpeq_epi64(_mm256_and_si256(vc, vw), vi_zero),
+                           v_true);  // can_match
+      const __m256i pc1 = _mm256_cmpeq_epi64(
+          popcount4_v(_mm256_or_si256(vc, vw)), _mm256_set1_epi64x(1));
+      __m256i np0;  // np == 0.0
+      if (amb_zero) {
+        np0 = cm;
+      } else {
+        np0 = _mm256_and_si256(cm, pc1);
+      }
+      if (mut_zero) {
+        np0 = _mm256_or_si256(np0, _mm256_xor_si256(cm, v_true));
+      }
+      const __m256i amb_w = _mm256_cmpeq_epi64(vw, vi_f);
+      const __m256i blocked =
+          _mm256_or_si256(np0, _mm256_or_si256(vamb_c, amb_w));
+      return _mm256_xor_si256(blocked, v_true);  // as int64 all-ones mask
+    };
+
+    // fused insX + overlay pass: one penalty gather per y, reused for the
+    // next y's insX content term
+    __m256d pr_y = _mm256_i64gather_pd(
+        penrow_base, _mm256_add_epi64(v_off_pr, _mm256_set1_epi64x(y_lo)), 8);
+    const int y_mid = (y_hi == m) ? m - 1 : y_hi;
+    int y = y_lo;
+    for (; y <= y_mid; y++) {
+      const __m256i w_y = _mm256_loadu_si256((const __m256i*)(wi + y * 4));
+      const __m256i w_y1 =
+          _mm256_loadu_si256((const __m256i*)(wi + (y + 1) * 4));
+      const __m256d pr_next = _mm256_i64gather_pd(
+          penrow_base, _mm256_add_epi64(v_off_pr, _mm256_set1_epi64x(y + 1)),
+          8);
+      // insX "new" allow: qprev must match w[y-1] (no constraint when x<2),
+      // and the content term reads (qc, w[y]) via pr_next == 0 etc.
+      __m256i arp_ok =
+          have_qprev
+              ? _mm256_xor_si256(
+                    _mm256_cmpeq_epi64(_mm256_and_si256(v_qp, w_y), vi_zero),
+                    v_true)
+              : v_true;
+      // content np uses the gathered pr_next for the np==0 test — identical
+      // values to the scalar cr row (same table entries)
+      const __m256i amb_w1 = _mm256_cmpeq_epi64(w_y1, vi_f);
+      const __m256i np0 = _mm256_castpd_si256(
+          _mm256_cmp_pd(pr_next, v_zero, _CMP_EQ_OQ));
+      const __m256i blocked =
+          _mm256_or_si256(np0, _mm256_or_si256(amb_qc, amb_w1));
+      const __m256i allowed_i =
+          _mm256_and_si256(arp_ok, _mm256_xor_si256(blocked, v_true));
+      const __m256d allowed = _mm256_castsi256_pd(allowed_i);
+      const __m256d pb = _mm256_loadu_pd(prev_best + y * 4);
+      const __m256d new_ins =
+          _mm256_blendv_pd(v_dis, _mm256_add_pd(pb, v_ins_open), allowed);
+      const __m256d ext =
+          _mm256_add_pd(_mm256_loadu_pd(prev_insx + y * 4), v_ins_ext);
+      _mm256_storeu_pd(row_insx + y * 4, _mm256_min_pd(ext, new_ins));
+      // overlay + premin at y
+      const __m256d ov =
+          _mm256_add_pd(_mm256_loadu_pd(prev_best + (y - 1) * 4), pr_y);
+      _mm256_storeu_pd(row_best + y * 4,
+                       _mm256_min_pd(_mm256_min_pd(ext, new_ins), ov));
+      pr_y = pr_next;
+    }
+    if (y_hi == m && y <= y_hi) {  // y == m: insX has no content term
+      const __m256i w_y = _mm256_loadu_si256((const __m256i*)(wi + m * 4));
+      __m256i arp_ok =
+          have_qprev
+              ? _mm256_xor_si256(
+                    _mm256_cmpeq_epi64(_mm256_and_si256(v_qp, w_y), vi_zero),
+                    v_true)
+              : v_true;
+      const __m256d allowed = _mm256_castsi256_pd(arp_ok);
+      const __m256d pb = _mm256_loadu_pd(prev_best + m * 4);
+      const __m256d new_ins =
+          _mm256_blendv_pd(v_dis, _mm256_add_pd(pb, v_ins_open), allowed);
+      const __m256d ext =
+          _mm256_add_pd(_mm256_loadu_pd(prev_insx + m * 4), v_ins_ext);
+      _mm256_storeu_pd(row_insx + m * 4, _mm256_min_pd(ext, new_ins));
+      const __m256d ov =
+          _mm256_add_pd(_mm256_loadu_pd(prev_best + (m - 1) * 4), pr_y);
+      _mm256_storeu_pd(row_best + m * 4,
+                       _mm256_min_pd(_mm256_min_pd(ext, new_ins), ov));
+    }
+    if (y_hi == m && may_extend) {
+      for (int l = 0; l < 4; l++)
+        row_insx[m * 4 + l] = prev_best[m * 4 + l] + p.unaligned;
+      // re-apply the premin with the overwritten insX value
+      const __m256d ov =
+          _mm256_add_pd(_mm256_loadu_pd(prev_best + (m - 1) * 4), pr_y);
+      _mm256_storeu_pd(row_best + m * 4,
+                       _mm256_min_pd(_mm256_loadu_pd(row_insx + m * 4), ov));
+    }
+
+    // sequential best/insY recurrence — carried along y, vector across lanes
+    __m256d vb_prev = _mm256_loadu_pd(row_best + (y_lo - 1) * 4);
+    __m256d viy_prev = _mm256_loadu_pd(row_insy + (y_lo - 1) * 4);
+    int y2 = y_lo;
+    for (; y2 <= y_hi; y2++) {
+      const __m256i w_ym1 =
+          _mm256_loadu_si256((const __m256i*)(wi + (y2 - 1) * 4));
+      const __m256i w_y = _mm256_loadu_si256((const __m256i*)(wi + y2 * 4));
+      __m256i arq_ok =
+          (y2 >= 2)
+              ? _mm256_xor_si256(
+                    _mm256_cmpeq_epi64(_mm256_and_si256(v_qc, w_ym1), vi_zero),
+                    v_true)
+              : v_true;
+      __m256i crn_ok = have_qnext ? content_allow(v_qn, amb_qn, w_y) : v_true;
+      const __m256d allowed =
+          _mm256_castsi256_pd(_mm256_and_si256(arq_ok, crn_ok));
+      const __m256d new_del =
+          _mm256_blendv_pd(v_dis, _mm256_add_pd(vb_prev, v_del_open), allowed);
+      const __m256d iy =
+          _mm256_min_pd(_mm256_add_pd(viy_prev, v_del_ext), new_del);
+      const __m256d b = _mm256_min_pd(iy, _mm256_loadu_pd(row_best + y2 * 4));
+      _mm256_storeu_pd(row_insy + y2 * 4, iy);
+      _mm256_storeu_pd(row_best + y2 * 4, b);
+      vb_prev = b;
+      viy_prev = iy;
+    }
+#else
+    const double* pr4[4];
+    const double* arq4[4];
+    const double* crq4[4];
+    const double* crn4[4];
+    const double* arp4[4];
+    for (int l = 0; l < 4; l++) {
+      pr4[l] = penrow_base + off_pr[l];
+      arq4[l] = arow_base + off_arq[l];
+      crq4[l] = crow_base + off_crq[l];
+      crn4[l] = crow_base + off_crn[l];
+      arp4[l] = arow_base + off_arp[l];
+    }
 
     // insX pass
     for (int y = y_lo; y <= y_hi; y++) {
@@ -898,9 +1107,6 @@ void dp_fill_x4(const uint8_t* const qs[4], int n, const uint8_t* const ws[4],
       b_prev[l] = row_best[(y_lo - 1) * 4 + l];
       iy_prev[l] = row_insy[(y_lo - 1) * 4 + l];
     }
-    // (arq4 row index y-1 is only read for y >= 2; arow[0] is allocated,
-    // its value masked out by the y < 2 term folded in via max(y-1, 0) and
-    // an explicit first-iteration peel)
     int y = y_lo;
     for (; y < std::min(y_lo + 1, 2); y++) {  // peel y < 2 (y_lo >= 1)
       for (int l = 0; l < 4; l++) {
@@ -929,6 +1135,7 @@ void dp_fill_x4(const uint8_t* const qs[4], int n, const uint8_t* const ws[4],
         iy_prev[l] = iy;
       }
     }
+#endif
   }
 
   // per-lane goal scan + traceback (identical to the scalar fill's)
@@ -1667,14 +1874,20 @@ void mapper_local_align_batch(
   Params p;
   std::memcpy(&p, params_in, sizeof(Params));
   const PenaltyTable tbl(p);
-  // Opt-in (MAPPER_TPU_SIMD_WAVE=1): the four-lane grouped fill is measured
-  // SLOWER than the scalar path on this toolchain (273 vs 118 ms per
-  // 3042-problem wave) — the per-lane per-code row pointers defeat GCC's SLP
-  // vectorizer, and interleaving them costs more than the lanes save
-  // (BENCH.md "SIMD wave experiment").  The machinery and its differential
-  // test stay in-tree for a future intrinsics pass.
+  // Default-on (MAPPER_TPU_SIMD_WAVE=0 reverts to the per-problem scalar
+  // loop): the four-lane grouped fill with AVX2 intrinsics — one cached
+  // penalty gather per y, every mask derived from interleaved window codes
+  // with integer vector ops — measures 66 vs 117 ms per 3042-problem
+  // hard-SE wave (BENCH.md "SIMD wave").  Auto-vectorization alone made it
+  // SLOWER (273 ms): the per-lane row pointers defeat GCC's SLP, which is
+  // why the AVX2 block exists.  Byte-identity vs the scalar path is pinned
+  // by test_simd_wave_batch_matches_scalar.
   const char* env = getenv("MAPPER_TPU_SIMD_WAVE");
+#if defined(__AVX2__)
+  const bool use_x4 = !(env && env[0] == '0');
+#else
   const bool use_x4 = env && env[0] == '1';
+#endif
 
   auto write_status = [&](int i, int r) {
     if (r == -1 || r == -2) {

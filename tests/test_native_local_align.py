@@ -306,7 +306,17 @@ def test_native_local_align_batch_matches_serial(monkeypatch):
         assert float(aligned[i]) == oracle.get_aligned_penalty(), i
 
 
-def test_simd_wave_batch_matches_scalar(monkeypatch):
+@pytest.mark.parametrize(
+    "pkw",
+    [
+        {},
+        {"mutation_penalty": 0.0},
+        {"ambiguity_penalty": 0.0},
+        {"mutation_penalty": 6.0, "indel_start_penalty": 9.0,
+         "indel_extension_penalty": 5.0},
+    ],
+)
+def test_simd_wave_batch_matches_scalar(monkeypatch, pkw):
     """The grouped four-lane wave fill (dp.cpp::dp_fill_x4, MAPPER_TPU_SIMD_WAVE)
     must produce byte-identical outputs to the per-problem scalar path for
     every problem of a mixed batch (varying predicted offsets, rates, edge
@@ -360,16 +370,19 @@ def test_simd_wave_batch_matches_scalar(monkeypatch):
         np.array(r_starts, np.int64), np.array(preds, np.int32),
         np.array(at_s, np.uint8), np.array(at_e, np.uint8),
         np.array(conf, np.uint8), np.array(rates, np.float64),
-        AlignmentParameters.defaults(),
+        AlignmentParameters.defaults(**pkw),
     )
     monkeypatch.setenv("MAPPER_TPU_SIMD_WAVE", "0")
     scalar = native_local_align_batch(*args)
     monkeypatch.setenv("MAPPER_TPU_SIMD_WAVE", "1")
     simd = native_local_align_batch(*args)
+    defined = scalar[0] >= 0  # out_total/aligned stay uninitialized on -1/-2
     for a, b, name in zip(scalar, simd, ("status", "nblocks", "blocks", "total", "aligned")):
         if name == "blocks":
             for i in range(k):
                 nb = int(scalar[1][i])
                 np.testing.assert_array_equal(a[i, :nb], b[i, :nb], err_msg=f"row {i}")
+        elif name in ("total", "aligned"):
+            np.testing.assert_array_equal(a[defined], b[defined], err_msg=name)
         else:
             np.testing.assert_array_equal(a, b, err_msg=name)
