@@ -102,6 +102,9 @@ class BatchAligner:
         # involvement) — the analog of the reference's "Immediately accepted"
         # optimistic fast-path counter (Mapper.java:843-845)
         self.stats_batch_resolved = 0
+        # why single-end reads left the batch path for the exact worker
+        # (reason -> count); cheap enough to keep always-on
+        self.stats_fallback_reasons: dict[str, int] = {}
         self._ref_cache: dict[int, tuple] = {}
         # optional collections.Counter: the gapped-finalization gates count
         # their reject reasons here when set (perf debugging)
@@ -1411,6 +1414,20 @@ class BatchAligner:
             )
             return {
                 "stacked_dev": stacked_dev,
+                # fetch on a background thread immediately: copy_to_host_async
+                # is a no-op on the tunneled backend (the finish-side
+                # np.asarray still paid a blocking ~50-80 ms/chunk round trip
+                # while the host sat idle).  The thread spends its life
+                # waiting on the remote fetch RPC with the GIL released, so
+                # the next chunk's host candidate pass runs concurrently —
+                # unlike the background-DISPATCH experiment (negative, BENCH
+                # .md "tunnel economics"), no CPU work moves off-thread.
+                # MAPPER_TPU_ASYNC_FETCH=0 reverts to the blocking fetch.
+                "stacked_fetch": (
+                    _BackgroundFetch(stacked_dev)
+                    if os.environ.get("MAPPER_TPU_ASYNC_FETCH", "1") != "0"
+                    else None
+                ),
                 "host_ungapped": None,
                 "lane": lane,
                 "in_contig": in_contig,
@@ -1502,10 +1519,14 @@ class BatchAligner:
         (ungapped, banded) float64 arrays per candidate row."""
         band = sctx["band"]
         if "stacked_dev" in sctx:
-            # one fetch for both vectors; the copy was started at dispatch
-            # time (copy_to_host_async), so after pipelined host work this
-            # usually costs ~0 instead of a tunnel round trip per vector
-            out = np.asarray(sctx["stacked_dev"], dtype=np.float64)
+            # one fetch for both vectors; the background fetch thread was
+            # started at dispatch time, so after pipelined host work this
+            # usually costs ~0 instead of a blocking tunnel round trip
+            fetch = sctx.get("stacked_fetch")
+            if fetch is not None:
+                out = fetch.get().astype(np.float64)
+            else:
+                out = np.asarray(sctx["stacked_dev"], dtype=np.float64)
             k = sctx["num_cands"]
             banded = out[0, :k]
             ung = out[1, :k]
@@ -1860,6 +1881,7 @@ class BatchAligner:
                 fallback_reads[fallback_ids] = True
             else:
                 fallback_reads = None
+            fused_mask = fallback_reads
             pens_lookup = None
         else:
             table = ctx["table"]
@@ -1868,6 +1890,7 @@ class BatchAligner:
             at_edge = geom["at_edge"]
             n_per_cand = geom["n_per_cand"]
             fallback_reads = None
+            fused_mask = None
             pens_lookup = ctx["u_all"]
             # certificate rows scored on host (score == exact ungapped, clean
             # by construction); device rows filled from the compacted call
@@ -1913,6 +1936,8 @@ class BatchAligner:
                 fallback_reads = wide_fallback
             else:
                 fallback_reads = fallback_reads | wide_fallback
+        else:
+            wide_fallback = None
         # --- per-read decisions (vectorized over the candidate table) ----
         max_allowed = np.nextafter(n_per_cand * p.max_error_rate, np.inf)
         score = np.where(valid, np.minimum(banded, ungapped), np.inf)
@@ -1957,6 +1982,7 @@ class BatchAligner:
         # with margin, comfortably under the accept threshold, interior to
         # the contig, inside the certified band.
         GAP_MARGIN = 0.05
+        reason_map: dict[int, str] = {}
         gap_reads = bad_reads & (best_per_read <= read_max_allowed - GAP_MARGIN)
         if fallback_reads is not None:
             gap_reads &= ~fallback_reads
@@ -1976,9 +2002,11 @@ class BatchAligner:
                 # hide behind an overestimate, so any edge row at all keeps
                 # the full worker path (it owns contig-edge economics)
                 if any(at_edge[rr] for rr in all_rows):
+                    reason_map[r] = "gap_edge"
                     continue
                 rows_r = [int(rr) for rr in all_rows if margin_row[rr]]
                 if not rows_r:
+                    reason_map[r] = "gap_nomargin"
                     continue
                 mi = int(max_indel_read[r])
                 offs = [int(table.offset[rr]) for rr in rows_r]
@@ -1986,11 +2014,13 @@ class BatchAligner:
                     len({(bool(table.reversed_[rr]), int(table.ref_seq_index[rr])) for rr in rows_r}) > 1
                     or max(offs) - min(offs) > mi
                 ):
+                    reason_map[r] = "gap_multilocus"
                     continue
                 c = min(rows_r, key=lambda rr: (score[rr], rr))
                 seqidx = int(table.ref_seq_index[c])
                 ref, original = self._ref_and_original(seqidx)
                 if original is not ref:
+                    reason_map[r] = "gap_ancestral"
                     continue  # ancestral rewrite: keep the full worker path
                 query = queries[r]
                 seq = query.get_sequence(0)
@@ -2160,6 +2190,28 @@ class BatchAligner:
                 batch.lengths[rid_arr],
                 np.ones(len(dp_rid), dtype=np.float32),
             )
+        # classify every read the batch path could not resolve (results[r] is
+        # None -> the exact sequential worker owns it); counts feed
+        # stats_fallback_reasons for perf diagnosis
+        reasons = self.stats_fallback_reasons
+        for r in range(num_reads):
+            if results[r] is not None:
+                continue
+            if r in reason_map:
+                reason = reason_map[r]
+            elif fused_mask is not None and fused_mask[r]:
+                reason = "kernel_bail"
+            elif wide_fallback is not None and wide_fallback[r]:
+                reason = "wide_band"
+            elif bad_reads[r]:
+                reason = "gap_dp_fail" if gap_reads[r] else "gap_margin"
+            elif not nonempty[r]:
+                reason = "no_rows"
+            elif emit_counts[r] == 0:
+                reason = "no_viable"
+            else:
+                reason = "recheck_fail"
+            reasons[reason] = reasons.get(reason, 0) + 1
         mark("decisions+emit")
         return results
 
@@ -2195,6 +2247,42 @@ def _pad_concat(concat: np.ndarray) -> np.ndarray:
     if padded == concat.shape[0]:
         return concat
     return np.pad(concat, (0, padded - concat.shape[0]))
+
+
+class _BackgroundFetch:
+    """Fetch one device array to host numpy on a daemon thread.  The thread
+    blocks inside the runtime's fetch RPC (GIL released) until the device
+    finishes computing and the bytes cross the tunnel; `get()` joins and
+    returns the numpy array.  Falls back to a synchronous fetch at `get()`
+    when thread creation fails (interpreter shutdown)."""
+
+    __slots__ = ("dev", "out", "err", "thread")
+
+    def __init__(self, dev):
+        import threading
+
+        self.dev = dev
+        self.out = None
+        self.err = None
+        try:
+            self.thread = threading.Thread(target=self._run, daemon=True)
+            self.thread.start()
+        except RuntimeError:
+            self.thread = None
+
+    def _run(self):
+        try:
+            self.out = np.asarray(self.dev)
+        except BaseException as e:  # surfaced from get() on the caller thread
+            self.err = e
+
+    def get(self) -> np.ndarray:
+        if self.thread is None:
+            return np.asarray(self.dev)
+        self.thread.join()
+        if self.err is not None:
+            raise self.err
+        return self.out
 
 
 class ScoringWarmup:
