@@ -52,21 +52,17 @@ class QueryPyramid:
         codes = sequence.codes
         self._vector_rows = None
         self._native_levels = None
+        # clean queries defer the native whole-pyramid row build until a row
+        # is actually requested: with the native walk + native counting the
+        # Python walker never materializes rows at all, and mapper_query_walk
+        # recomputes rows internally from the codes (BENCH.md "Hard-SE
+        # budget" — the eager build was ~8% of the fallback worker)
+        self._native_pending = False
         if codes.shape[0] and not np.any(basepairs.POPCOUNT_TABLE[codes] != 1):
             if _os.environ.get("MAPPER_TPU_NATIVE", "1") != "0":
-                from mapper_tpu.native import native_query_rows
-
-                nat = native_query_rows(codes)
-                if nat is not None:
-                    counts, fields = nat
-                    levels = []
-                    off = 0
-                    for c in counts.tolist():
-                        levels.append(fields[off : off + c])
-                        off += c
-                    self._native_levels = levels
-                    self.rows: list[list[scalar.Slot]] = []
-                    return
+                self._native_pending = True
+                self.rows: list[list[scalar.Slot]] = []
+                return
             from mapper_tpu.index import hashblock as _hb
 
             self._hb = _hb
@@ -75,7 +71,38 @@ class QueryPyramid:
         else:
             self.rows = [scalar.scalar_base_row(codes)]
 
+    def native_eligible(self) -> bool:
+        """True when the clean-query native row builder will serve get();
+        the walk gate (HashBlockPath) keys off this without forcing the
+        eager row build."""
+        return self._native_pending or self._native_levels is not None
+
+    def _force_native(self) -> None:
+        if not self._native_pending:
+            return
+        self._native_pending = False
+        codes = self.sequence.codes
+        from mapper_tpu.native import native_query_rows
+
+        nat = native_query_rows(codes)
+        if nat is not None:
+            counts, fields = nat
+            levels = []
+            off = 0
+            for c in counts.tolist():
+                levels.append(fields[off : off + c])
+                off += c
+            self._native_levels = levels
+        else:
+            from mapper_tpu.index import hashblock as _hb
+
+            self._hb = _hb
+            self._vector_rows = [_hb.base_row(codes)]
+            self.rows = [_convert_block_row(self._vector_rows[0])]
+
     def get(self, level: int) -> list[scalar.Slot]:
+        if self._native_pending:
+            self._force_native()
         while len(self.rows) <= level:
             if self._native_levels is not None:
                 idx = len(self.rows)
@@ -190,7 +217,7 @@ class HashBlockPath:
         self._native_seq = None
         self._native_pos = 0
         if (
-            pyramid._native_levels is not None
+            pyramid.native_eligible()
             and _os.environ.get("MAPPER_TPU_NATIVE", "1") != "0"
             and _os.environ.get("MAPPER_TPU_NATIVE_WALK", "1") != "0"
         ):
@@ -1110,3 +1137,187 @@ class PathsCounter:
             if m1.start_index_b < m2.end_index_b and m1.end_index_b > m2.start_index_b:
                 return max(c.priority for c in group)
         return sum(c.priority for c in group)
+
+
+class _NativeCounter:
+    """MatchCounter-compatible proxy over one native counter (stable per
+    (path, id) so list-identity memos behave like the Python oracle's).
+    `priority` reads the live native value: like the Python attribute it is
+    0 until the counter is declared good, then frozen — a proxy created
+    before the declaration must still see the later value."""
+
+    __slots__ = ("_path", "_id", "match")
+
+    def __init__(self, path: "NativeCountingPath", cid: int, match: SequenceMatch):
+        self._path = path
+        self._id = cid
+        self.match = match
+
+    @property
+    def priority(self) -> int:
+        return int(self._path._lib.mapper_counting_priority(self._path._h, self._id))
+
+    def get_num_distinct_mismatches(self) -> int:
+        return int(
+            self._path._lib.mapper_counting_distinct(self._path._h, self._id)
+        )
+
+
+class NativeCountingPath(CountingHashBlockPath):
+    """CountingHashBlockPath with the counter state machine in C++
+    (native/counting.cpp; this Python class is the oracle —
+    tests/test_native_counting.py runs the step-for-step differential).
+    Falls back to the Python machinery when the native library, walk, or
+    fully-resolved prefetch is unavailable (ambiguous queries, tiny
+    queries, MAPPER_TPU_NATIVE_COUNTING=0)."""
+
+    def __init__(self, database: HashBlockDatabase, query: Sequence, params, name: str = "seq"):
+        super().__init__(database, query, params, name)
+        import ctypes
+        import os as _os
+
+        self._h = None
+        if _os.environ.get("MAPPER_TPU_NATIVE_COUNTING", "1") == "0":
+            return
+        if self._prefetched2 is None:
+            return
+        seq_arr = self.path._native_seq
+        if seq_arr is None or not seq_arr.shape[0]:
+            return
+        from mapper_tpu.native import get_counting_library
+
+        lib = get_counting_library()
+        if lib is None:
+            return
+        fi, fo, ir, bounds, popular = self._prefetched2
+        # borrowed buffers: keep references alive for the handle's lifetime
+        self._keep = (
+            np.ascontiguousarray(seq_arr[:, 0].astype(np.int32, copy=False)),
+            np.ascontiguousarray(
+                (seq_arr[:, 0].astype(np.int64) + seq_arr[:, 1].astype(np.int64)).astype(np.int32)
+            ),
+            np.ascontiguousarray(popular.astype(np.uint8)),
+            np.ascontiguousarray(bounds.astype(np.int64, copy=False)),
+            np.ascontiguousarray(fi.astype(np.int64, copy=False)),
+            np.ascontiguousarray(fo.astype(np.int64, copy=False)),
+            np.ascontiguousarray(ir.astype(np.uint8)),
+            np.ascontiguousarray(database._seq_lengths.astype(np.int64, copy=False)),
+        )
+        bstart, bend, pop_u8, bounds64, fi64, fo64, ir8, slen = self._keep
+        p_i32 = ctypes.POINTER(ctypes.c_int32)
+        p_i64 = ctypes.POINTER(ctypes.c_int64)
+        p_u8 = ctypes.POINTER(ctypes.c_uint8)
+        self._lib = lib
+        self._h = lib.mapper_counting_create(
+            bstart.ctypes.data_as(p_i32),
+            bend.ctypes.data_as(p_i32),
+            pop_u8.ctypes.data_as(p_u8),
+            int(seq_arr.shape[0]),
+            bounds64.ctypes.data_as(p_i64),
+            fi64.ctypes.data_as(p_i64),
+            fo64.ctypes.data_as(p_i64),
+            ir8.ctypes.data_as(p_u8),
+            slen.ctypes.data_as(p_i64),
+            int(len(query)),
+            int(self.max_indel_length_to_consider),
+            USUAL_MATCHES_BEFORE_INVESTIGATING,
+        )
+        self._proxies: dict[int, _NativeCounter] = {}
+        self._ids_buf = np.zeros(64, dtype=np.int32)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h is not None:
+            try:
+                self._lib.mapper_counting_destroy(h)
+            except Exception:
+                pass
+            self._h = None
+
+    # --- proxy plumbing ---------------------------------------------------
+
+    def _proxy_list(self, ids: np.ndarray) -> list[_NativeCounter]:
+        import ctypes
+
+        proxies = self._proxies
+        missing = [cid for cid in ids.tolist() if cid not in proxies]
+        if missing:
+            arr = np.asarray(missing, dtype=np.int32)
+            info = np.empty((len(missing), 4), dtype=np.int64)
+            self._lib.mapper_counting_info(
+                self._h,
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(missing),
+                info.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            get_seq = self.seq_db.get_sequence
+            for j, cid in enumerate(missing):
+                rc = bool(info[j, 0])
+                seq_a = self.reverse_complement_query if rc else self.query
+                match = SequenceMatch(seq_a, get_seq(int(info[j, 1])), int(info[j, 2]))
+                proxies[cid] = _NativeCounter(self, cid, match)
+        return [proxies[cid] for cid in ids.tolist()]
+
+    def _fetch_ids(self, fn, *args) -> np.ndarray:
+        cap = int(self._lib.mapper_counting_num_counters(self._h))
+        if self._ids_buf.shape[0] < cap:
+            self._ids_buf = np.zeros(max(cap, 2 * self._ids_buf.shape[0]), dtype=np.int32)
+        import ctypes
+
+        n = int(fn(self._h, *args, self._ids_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
+        return self._ids_buf[:n]
+
+    # --- CountingHashBlockPath API over the native state machine ----------
+
+    def step(self) -> bool:
+        if self._h is None:
+            return super().step()
+        if not self._lib.mapper_counting_is_done(self._h):
+            self._all_positions_memo = None
+        return bool(self._lib.mapper_counting_step(self._h))
+
+    def find_good_positions_having_priority_up_to(self, priority: int) -> list:
+        if self._h is None:
+            return super().find_good_positions_having_priority_up_to(priority)
+        target = int(priority) + USUAL_MATCHES_BEFORE_INVESTIGATING
+        # memo invalidation mirrors the oracle: only an actual step() call
+        # (not-done, below target) clears the all-positions memo
+        if not self._lib.mapper_counting_is_done(self._h) and (
+            int(self._lib.mapper_counting_num_nonoverlap(self._h)) < target
+        ):
+            self._all_positions_memo = None
+        self._lib.mapper_counting_run_until_nonoverlap(self._h, target)
+        num_good = int(self._lib.mapper_counting_num_good(self._h))
+        if (
+            self._prev_high_priority is not None
+            and len(self._prev_high_priority) == num_good
+        ):
+            return self._prev_high_priority
+        ids = self._fetch_ids(self._lib.mapper_counting_good_upto, int(priority))
+        matches = self._proxy_list(ids)
+        self._prev_high_priority = matches
+        return matches
+
+    def get_best_matches(self) -> list:
+        if self._h is None:
+            return super().get_best_matches()
+        ids = self._fetch_ids(self._lib.mapper_counting_best)
+        return self._proxy_list(ids)
+
+    def get_all_positions(self) -> list:
+        if self._h is None:
+            return super().get_all_positions()
+        if self._all_positions_memo is None:
+            ids = self._fetch_ids(self._lib.mapper_counting_all_positions)
+            self._all_positions_memo = self._proxy_list(ids)
+        return self._all_positions_memo
+
+    def get_num_blocks(self) -> int:
+        if self._h is None:
+            return super().get_num_blocks()
+        return int(self._lib.mapper_counting_num_blocks(self._h))
+
+    def is_done(self) -> bool:
+        if self._h is None:
+            return super().is_done()
+        return bool(self._lib.mapper_counting_is_done(self._h))

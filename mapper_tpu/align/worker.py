@@ -24,7 +24,12 @@ import time
 
 from mapper_tpu.align.blocks import QueryAlignment, QueryAlignments
 from mapper_tpu.align.cache import AlignmentCache
-from mapper_tpu.align.candidates import CountingHashBlockPath, PathsCounter, QueryMatch
+from mapper_tpu.align.candidates import (
+    CountingHashBlockPath,
+    NativeCountingPath,
+    PathsCounter,
+    QueryMatch,
+)
 from mapper_tpu.align.query import Query
 from mapper_tpu.align.query_aligner import QueryMatchAligner
 
@@ -198,7 +203,9 @@ class AlignerWorker:
             if i > 0:
                 seq = seq.reverse_complement()
             name = f"seq{i + 1}" if query.get_num_sequences() > 1 else "seq"
-            components.append(CountingHashBlockPath(self.database, seq, params, name))
+            # native counter state machine when available (counting.cpp);
+            # degrades to the Python machinery inside the class
+            components.append(NativeCountingPath(self.database, seq, params, name))
         path = PathsCounter(
             components, int(query.get_expected_inner_distance()), max_inner_distance
         )

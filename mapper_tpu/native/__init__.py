@@ -44,6 +44,7 @@ def _library_path(source: str, stem: str) -> str:
 _SOURCE = os.path.join(_HERE, "dp.cpp")
 _CAND_SOURCE = os.path.join(_HERE, "candidates.cpp")
 _TEXT_SOURCE = os.path.join(_HERE, "textrows.cpp")
+_COUNTING_SOURCE = os.path.join(_HERE, "counting.cpp")
 
 _lock = threading.Lock()
 _lib = None
@@ -52,6 +53,8 @@ _cand_lib = None
 _cand_load_failed = False
 _text_lib = None
 _text_load_failed = False
+_counting_lib = None
+_counting_load_failed = False
 
 
 def _build(source: str, library: str, extra=()) -> bool:
@@ -295,6 +298,73 @@ def get_textrows_library():
         except Exception:
             _text_load_failed = True
     return _text_lib
+
+
+def get_counting_library():
+    """The loaded native counting layer (counting.cpp: the
+    Counting_HashBlockPath state machine), or None when unavailable."""
+    global _counting_lib, _counting_load_failed
+    if _counting_lib is not None or _counting_load_failed:
+        return _counting_lib
+    with _lock:
+        if _counting_lib is not None or _counting_load_failed:
+            return _counting_lib
+        library = _library_path(_COUNTING_SOURCE, "libmappercounting")
+        if not os.path.exists(library):
+            if not _build(_COUNTING_SOURCE, library):
+                _counting_load_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(library)
+            p_u8 = ctypes.POINTER(ctypes.c_uint8)
+            p_i32 = ctypes.POINTER(ctypes.c_int32)
+            p_i64 = ctypes.POINTER(ctypes.c_int64)
+            lib.mapper_counting_create.restype = ctypes.c_void_p
+            lib.mapper_counting_create.argtypes = [
+                p_i32, p_i32, p_u8, ctypes.c_int64,  # bstart, bend, popular, nb
+                p_i64, p_i64, p_i64, p_u8,           # bounds, fold_idx, fold_off, is_rc
+                p_i64, ctypes.c_int64,               # seq_lengths, query_len
+                ctypes.c_int64, ctypes.c_int64,      # max_indel, usual
+            ]
+            lib.mapper_counting_destroy.restype = None
+            lib.mapper_counting_destroy.argtypes = [ctypes.c_void_p]
+            lib.mapper_counting_step.restype = ctypes.c_int32
+            lib.mapper_counting_step.argtypes = [ctypes.c_void_p]
+            lib.mapper_counting_run_until_nonoverlap.restype = None
+            lib.mapper_counting_run_until_nonoverlap.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            for name in (
+                "mapper_counting_num_blocks",
+                "mapper_counting_num_nonoverlap",
+                "mapper_counting_num_good",
+                "mapper_counting_num_counters",
+            ):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [ctypes.c_void_p]
+            lib.mapper_counting_is_done.restype = ctypes.c_int32
+            lib.mapper_counting_is_done.argtypes = [ctypes.c_void_p]
+            lib.mapper_counting_good_upto.restype = ctypes.c_int64
+            lib.mapper_counting_good_upto.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, p_i32,
+            ]
+            lib.mapper_counting_best.restype = ctypes.c_int64
+            lib.mapper_counting_best.argtypes = [ctypes.c_void_p, p_i32]
+            lib.mapper_counting_all_positions.restype = ctypes.c_int64
+            lib.mapper_counting_all_positions.argtypes = [ctypes.c_void_p, p_i32]
+            lib.mapper_counting_info.restype = None
+            lib.mapper_counting_info.argtypes = [
+                ctypes.c_void_p, p_i32, ctypes.c_int64, p_i64,
+            ]
+            lib.mapper_counting_distinct.restype = ctypes.c_int64
+            lib.mapper_counting_distinct.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+            lib.mapper_counting_priority.restype = ctypes.c_int64
+            lib.mapper_counting_priority.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+            _counting_lib = lib
+        except Exception:
+            _counting_load_failed = True
+    return _counting_lib
 
 
 def native_format_rows(

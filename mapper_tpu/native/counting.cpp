@@ -349,6 +349,12 @@ void mapper_counting_info(void* h, const int32_t* ids, int64_t k, int64_t* out4)
   }
 }
 
+// live priority attribute (0 until declared good, then frozen — mirrors
+// MatchCounter.priority)
+int64_t mapper_counting_priority(void* h, int32_t cid) {
+  return ((CountingState*)h)->counters[cid].priority;
+}
+
 // get_num_distinct_mismatches (advances the counter's history scan)
 int64_t mapper_counting_distinct(void* h, int32_t cid) {
   CountingState& S = *(CountingState*)h;
