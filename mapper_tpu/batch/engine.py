@@ -1378,6 +1378,26 @@ class BatchAligner:
         w_len = (win_end_local - win_start_local).astype(np.int64)
         lane = (table.offset - win_start_local).astype(np.int64)
 
+        # single-chip native scoring: through the remote tunnel every device
+        # program round costs ~50-130 ms of launch/queue overhead for ~1 ms
+        # of banded-DP compute on the ~10% non-certificate rows, and the
+        # service's program-load lottery adds multi-second stalls (BENCH.md
+        # "tunnel economics", "config-4 variance").  The same rows score
+        # exactly (f64, full local_align semantics) through the OpenMP
+        # native DP in ~10-40 ms with zero variance, so on a single chip the
+        # host path is both faster and steadier; the device kernel remains
+        # the mesh path and the CPU-backend jax path (MAPPER_TPU_HOST_SCORING
+        # =0 forces it).  Exact scores only strengthen the decision gates:
+        # every uncertain read already routes to the exact drivers, and the
+        # engine-vs-worker agreement fuzz pins output identity either way.
+        if self.mesh is None and os.environ.get("MAPPER_TPU_HOST_SCORING", "1") != "0":
+            sctx = self._dispatch_scores_native(
+                seqs, batch, table, n_per_cand, win_start_local, win_end_local,
+                valid, at_edge, in_contig, win_start_global, w_len, lane, lq,
+            )
+            if sctx is not None:
+                return sctx
+
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
@@ -1484,6 +1504,96 @@ class BatchAligner:
             "band": band,
         }
 
+    def _dispatch_scores_native(
+        self, seqs, batch, table, n_per_cand, win_start_local, win_end_local,
+        valid, at_edge, in_contig, win_start_global, w_len, lane, lq,
+    ):
+        """Score the candidate windows with the OpenMP native exact DP
+        (dp.cpp::mapper_local_align_batch) instead of a device program:
+        returns a finished sctx {"host_scored": (ungapped, banded)} or None
+        when the native library is unavailable / bails.  `banded` is the
+        exact local_align penalty of each window (f64; inf when over budget
+        or invalid), which is the quantity the f32 kernel approximates —
+        straight rows reproduce the exact ungapped penalty bit-for-bit
+        (same -ffp-contract=off sums as numpy), so the banded==ungapped
+        clean-emission test behaves identically."""
+        from mapper_tpu.native import get_library, native_local_align_batch
+
+        if get_library() is None:
+            return None
+        p = self.parameters
+        k = len(table)
+        _, _, seq_lengths = _tables(self.database)
+        contig_len = seq_lengths[table.ref_seq_index]
+
+        banded = np.full(k, np.inf)
+        run = np.nonzero(valid & (w_len > 0) & (n_per_cand > 0))[0]
+        if run.shape[0]:
+            # per-row query codes (forward / reverse-complement)
+            rev_rows = table.reversed_[run]
+            rid = table.read_id[run]
+            n_run = n_per_cand[run].astype(np.int32)
+            q_off = np.zeros(run.shape[0], dtype=np.int64)
+            np.cumsum(n_run[:-1], out=q_off[1:])
+            qbuf = np.empty(int(n_run.sum()), dtype=np.uint8)
+            rc_cache: dict[int, np.ndarray] = {}
+            for j in range(run.shape[0]):
+                r = int(rid[j])
+                if rev_rows[j]:
+                    codes = rc_cache.get(r)
+                    if codes is None:
+                        codes = basepairs.reverse_complement(seqs[r].codes)
+                        rc_cache[r] = codes
+                else:
+                    codes = seqs[r].codes
+                qbuf[q_off[j] : q_off[j] + n_run[j]] = codes
+
+            # window codes gathered from the host concat
+            w_run = w_len[run].astype(np.int32)
+            w_off = np.zeros(run.shape[0], dtype=np.int64)
+            np.cumsum(w_run[:-1], out=w_off[1:])
+            lw_max = int(w_run.max(initial=1))
+            w_idx = win_start_global[run][:, None] + np.arange(lw_max, dtype=np.int64)
+            w_idx = np.minimum(w_idx, self.concat.shape[0] - 1)
+            w_mat = self.concat[w_idx]
+            wbuf = np.empty(int(w_run.sum()), dtype=np.uint8)
+            for j in range(run.shape[0]):
+                wbuf[w_off[j] : w_off[j] + w_run[j]] = w_mat[j, : w_run[j]]
+
+            nf = n_run.astype(np.float64)
+            max_allowed = np.nextafter(nf * p.max_error_rate, np.inf)
+            rates = max_allowed / nf
+            bump = rates * nf < max_allowed
+            rates[bump] = np.nextafter(rates[bump], np.inf)
+
+            out = native_local_align_batch(
+                qbuf,
+                q_off,
+                n_run,
+                wbuf,
+                w_off,
+                w_run,
+                win_start_local[run].astype(np.int64),
+                np.clip(lane[run], 0, np.maximum(w_run - 1, 0)).astype(np.int32),
+                (win_start_local[run] == 0).astype(np.uint8),
+                (win_end_local[run] == contig_len[run]).astype(np.uint8),
+                np.ones(run.shape[0], dtype=np.uint8),
+                rates,
+                p,
+            )
+            if out is None:
+                return None
+            status, _, _, total, _ = out
+            if np.any(status == -2):
+                return None  # native bailed on a problem: use the device path
+            banded[run] = np.where(status >= 0, total, np.inf)
+
+        ungapped = np.full(k, np.inf)
+        ic = np.nonzero(in_contig)[0]
+        if ic.shape[0]:
+            ungapped[ic] = self._ungapped_penalties(seqs, table, ic)
+        return {"host_scored": (ungapped, banded)}
+
     def _use_device_candidates(self, jax_module) -> bool:
         """The fused on-device candidate path is opt-in
         (MAPPER_TPU_DEVICE_CANDIDATES=1 or device_candidates=True): it is
@@ -1517,6 +1627,8 @@ class BatchAligner:
     def _finish_scores(self, sctx):
         """Materialize the device scores of a _dispatch_scores context:
         (ungapped, banded) float64 arrays per candidate row."""
+        if "host_scored" in sctx:
+            return sctx["host_scored"]
         band = sctx["band"]
         if "stacked_dev" in sctx:
             # one fetch for both vectors; the background fetch thread was
