@@ -1583,16 +1583,31 @@ class BatchAligner:
             )
             if out is None:
                 return None
-            status, _, _, total, _ = out
+            status, nblocks, blocks, total, aligned = out
             if np.any(status == -2):
                 return None  # native bailed on a problem: use the device path
             banded[run] = np.where(status >= 0, total, np.inf)
+            native_raw = {
+                # per-slot raw results, reusable as gap-finalization wave-1
+                # answers when the window geometry matches (subtable row ->
+                # slot); see _finish_single_end's job construction
+                "slot_of_row": {int(r): j for j, r in enumerate(run.tolist())},
+                "status": status,
+                "nblocks": nblocks,
+                "blocks": blocks,
+                "total": total,
+                "aligned": aligned,
+                "rs": win_start_local[run],
+                "we": win_end_local[run],
+            }
+        else:
+            native_raw = None
 
         ungapped = np.full(k, np.inf)
         ic = np.nonzero(in_contig)[0]
         if ic.shape[0]:
             ungapped[ic] = self._ungapped_penalties(seqs, table, ic)
-        return {"host_scored": (ungapped, banded)}
+        return {"host_scored": (ungapped, banded), "native_raw": native_raw}
 
     def _use_device_candidates(self, jax_module) -> bool:
         """The fused on-device candidate path is opt-in
@@ -1811,19 +1826,34 @@ class BatchAligner:
             job["max_allowed"] = math.nextafter(n * R, math.inf)
             job["rate"] = dru(job["max_allowed"], n)
 
-        wave1 = [(j["seq_a"], j["ref"], j["o"], j["rate"]) for j in jobs]
-        out = self._run_local_align_wave(wave1)
-        if out is None:
-            for job in jobs:
-                self._finalize_one_gap_job_python(job, results, best_per_read, gap_margin)
-            return
-        status, nblocks, blocks, total, aligned, r_starts = out
+        # wave 1: jobs whose exact-DP answer was already computed by the
+        # host-scoring pass carry it in job["pre"]; only the rest align here
+        need = [j for j in jobs if "pre" not in j]
+        if need:
+            wave1 = [(j["seq_a"], j["ref"], j["o"], j["rate"]) for j in need]
+            out = self._run_local_align_wave(wave1)
+            if out is None:
+                for job in jobs:
+                    self._finalize_one_gap_job_python(
+                        job, results, best_per_read, gap_margin
+                    )
+                return
+            status_n, nblocks_n, blocks_n, total_n, aligned_n, r_starts_n = out
+            for i, job in enumerate(need):
+                job["pre"] = (
+                    int(status_n[i]),
+                    int(nblocks_n[i]),
+                    blocks_n[i],
+                    float(total_n[i]),
+                    float(aligned_n[i]),
+                    int(r_starts_n[i]),
+                )
 
         survivors = []
         probes = []  # (job, o2)
         for i, job in enumerate(jobs):
             dbg = self._gap_debug
-            st = int(status[i])
+            st, nb_pre, blocks_pre, total_pre, aligned_pre, rs_pre = job["pre"]
             if st == -2:  # native bailed: per-read oracle decides
                 self._finalize_one_gap_job_python(job, results, best_per_read, gap_margin)
                 continue
@@ -1831,7 +1861,7 @@ class BatchAligner:
                 if dbg is not None:
                     dbg["align_none"] += 1
                 continue  # align() returned None
-            pen = float(total[i])
+            pen = total_pre
             if pen > job["max_allowed"]:
                 if dbg is not None:
                     dbg["over_budget"] += 1
@@ -1849,10 +1879,10 @@ class BatchAligner:
                 if dbg is not None:
                     dbg["margin_mismatch"] += 1
                 continue
-            nb = int(nblocks[i])
-            rs = int(r_starts[i])
+            nb = nb_pre
+            rs = int(rs_pre)
             abs_blocks = tuple(
-                (sa, rs + sb, la, lb) for sa, sb, la, lb in blocks[i, :nb].tolist()
+                (sa, rs + sb, la, lb) for sa, sb, la, lb in blocks_pre[:nb].tolist()
             )
             offsets = set(job["locus"])
             for sa, sb_abs, la, lb in abs_blocks:
@@ -1860,7 +1890,7 @@ class BatchAligner:
                     offsets.add(sb_abs - sa)
             offsets.discard(job["o"])
             job["pen0"] = pen
-            job["aligned0"] = float(aligned[i])
+            job["aligned0"] = aligned_pre
             job["blocks0"] = abs_blocks
             job["status0"] = st
             job["pending"] = len(offsets)
@@ -2099,6 +2129,19 @@ class BatchAligner:
         if fallback_reads is not None:
             gap_reads &= ~fallback_reads
         if np.any(gap_reads):
+            # host-scored chunks already ran the exact DP on every dev row
+            # with wave-1-identical inputs (same window, rate, prediction);
+            # map full-table row -> raw-result slot so jobs can skip wave 1
+            native_raw = None
+            full_slot = None
+            sctx0 = ctx.get("sctx")
+            if sctx0 is not None and sctx0.get("native_raw") is not None:
+                native_raw = sctx0["native_raw"]
+                dev_rows_arr = ctx["dev_rows"]
+                full_slot = {
+                    int(dev_rows_arr[sub]): slot
+                    for sub, slot in native_raw["slot_of_row"].items()
+                }
             margin_row = viable & (
                 score <= best_per_read[table.read_id] + p.max_penalty_span + GAP_MARGIN
             )
@@ -2152,17 +2195,50 @@ class BatchAligner:
                         and abs(int(table.offset[rr]) - o) <= mi
                     ):
                         locus_offsets.add(int(table.offset[rr]))
-                jobs.append(
-                    {
-                        "r": r,
-                        "query": query,
-                        "seq_a": seq_a,
-                        "ref": ref,
-                        "o": o,
-                        "rev": rev,
-                        "locus": locus_offsets,
-                    }
-                )
+                job = {
+                    "r": r,
+                    "query": query,
+                    "seq_a": seq_a,
+                    "ref": ref,
+                    "o": o,
+                    "rev": rev,
+                    "locus": locus_offsets,
+                }
+                if full_slot is not None and c in full_slot:
+                    # reuse the scoring pass's exact-DP result as wave 1 when
+                    # the wave's window geometry reproduces the scoring one
+                    # (nextUp rounding can shift max_indel by 1 in edge cases;
+                    # compare the actual window bounds)
+                    import math as _math
+
+                    slot = full_slot[c]
+                    n_j = len(seq_a)
+                    ma = _math.nextafter(n_j * p.max_error_rate, _math.inf)
+                    rate_j = ma / n_j
+                    if rate_j * n_j < ma:
+                        rate_j = _math.nextafter(rate_j, _math.inf)
+                    mi_w = int(
+                        max(
+                            0.0,
+                            (n_j * rate_j - p.deletion_start_penalty)
+                            / p.deletion_extension_penalty,
+                        )
+                    )
+                    rs_w = max(0, o - mi_w)
+                    re_w = min(o + n_j + mi_w, len(ref))
+                    if (
+                        rs_w == int(native_raw["rs"][slot])
+                        and re_w == int(native_raw["we"][slot])
+                    ):
+                        job["pre"] = (
+                            int(native_raw["status"][slot]),
+                            int(native_raw["nblocks"][slot]),
+                            native_raw["blocks"][slot],
+                            float(native_raw["total"][slot]),
+                            float(native_raw["aligned"][slot]),
+                            rs_w,
+                        )
+                jobs.append(job)
             if jobs:
                 self._finalize_gap_jobs(jobs, results, best_per_read, GAP_MARGIN)
         emit_sorted = emit[order]
