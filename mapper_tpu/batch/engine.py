@@ -2481,6 +2481,10 @@ class ScoringWarmup:
     def __init__(self):
         self.concat_dev = None
         self.thread = None
+        # when True, a single-device tpu backend skips the upload+program
+        # (host scoring will never use them); the thread still performs the
+        # backend init so later jax use is warm
+        self.skip_single_device = False
 
 
 def start_scoring_warmup(
@@ -2492,6 +2496,7 @@ def start_scoring_warmup(
     chunk: int = 4096,  # keep in sync with BatchAligner.pipeline_chunk_reads
     band: int | None = None,
     mesh=None,
+    skip_single_device: bool = False,
 ) -> ScoringWarmup:
     """Start the one-time device costs (reference upload + scoring program
     compile/load + first execution) on a background thread so they overlap
@@ -2503,15 +2508,28 @@ def start_scoring_warmup(
     reproduces the production call's static shapes (read bucket, candidate
     tile, lq bucket, band, reference length); a mispredicted read length
     just wastes the warmup."""
-    import jax
-
     holder = ScoringWarmup()
-    if jax.default_backend() != "tpu":
-        return holder
+    holder.skip_single_device = skip_single_device
     concat = seq_db.concatenated_codes()
 
     def run():
         try:
+            # EVERYTHING jax happens on this thread: even jax.devices() /
+            # default_backend() triggers the remote tunnel backend init
+            # (~10 s measured), which must overlap index build + parsing,
+            # never block the CLI main thread
+            import jax
+
+            if jax.default_backend() != "tpu":
+                return
+            if (
+                mesh is None
+                and holder.skip_single_device
+                and len(jax.devices()) <= 1
+            ):
+                # single-chip host scoring: backend inited (for any later
+                # mesh probe), no upload, no program
+                return
             padded = _pad_concat(concat)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec

@@ -470,26 +470,21 @@ def run(
 
     queries = QueriesIterator(query_providers)
     scoring_warmup = None
-    # single-chip native window scoring never touches the device: skip the
-    # reference upload + scoring-program load entirely (the one-time 10-60 s
-    # service cost AND the program-load lottery both vanish — BENCH.md
-    # "tunnel economics").  A configured mesh or MAPPER_TPU_HOST_SCORING=0
-    # restores the device warmup.
+    # single-chip native window scoring never touches the device, so the
+    # warmup thread skips the reference upload + scoring-program load (the
+    # one-time 10-60 s service cost AND the program-load lottery both
+    # vanish — BENCH.md "tunnel economics").  The decision needs
+    # jax.devices(), whose ~10 s remote backend init must stay OFF the main
+    # thread — the warmup thread makes the call.  An explicit --devices N>1
+    # or MAPPER_TPU_HOST_SCORING=0 keeps the device warmup.
     host_scoring = os.environ.get("MAPPER_TPU_HOST_SCORING", "1") != "0"
     if host_scoring and num_devices != "auto" and num_devices > 1:
         host_scoring = False  # explicit multi-device run: mesh scoring
-    if host_scoring and num_devices == "auto":
-        try:
-            import jax
-
-            host_scoring = len(jax.devices()) <= 1
-        except Exception:
-            pass
     if host_scoring:
         from mapper_tpu.native import get_library
 
         host_scoring = get_library() is not None
-    if engine == "batch" and not host_scoring:
+    if engine == "batch":
         # peek the first query's shape and start the one-time device costs
         # (reference upload + scoring-program load, 10-60 s on the remote
         # service) on a background thread NOW, overlapping the index build
@@ -504,6 +499,7 @@ def run(
                 parameters,
                 max(b.get_length() for b in peeked.builders),
                 paired=len(peeked.builders) == 2,
+                skip_single_device=host_scoring,
             )
 
     dir_cache = DirCache(cache_dir) if cache_dir else None
