@@ -180,8 +180,14 @@ def main():
     best_host = min(g["host_probe_s"] for g in groups)
     device_probes = [g["device_probe_s"] for g in groups if g["device_probe_s"]]
     best_device = min(device_probes) if device_probes else None
+    # with single-chip host scoring (default since round 5) the engine never
+    # touches the device, so only the host phase can degrade the measurement;
+    # the device probe stays recorded as service context
+    host_only = os.environ.get("MAPPER_TPU_HOST_SCORING", "1") != "0"
     phase_degraded = best_host > HOST_PROBE_NOMINAL_S * DEGRADED_FACTOR or (
-        best_device is not None and best_device > DEVICE_PROBE_NOMINAL_S * DEGRADED_FACTOR
+        not host_only
+        and best_device is not None
+        and best_device > DEVICE_PROBE_NOMINAL_S * DEGRADED_FACTOR
     )
     if phase_degraded:
         note(

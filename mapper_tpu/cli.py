@@ -567,6 +567,16 @@ def run(
         window_size=1000,
     )
     reference_index.duplication_detector = approximate_dups
+    # run the hash-bin duplication scan (~5 s on a 4.6 Mb reference) on a
+    # background thread: it overlaps query-provider setup and the remote
+    # backend init the engine creation blocks on; the batch loop joins it
+    # before the first alignment (no lazy-init races)
+    import threading as _threading
+
+    dup_thread = _threading.Thread(
+        target=approximate_dups.ensure_detected, daemon=True
+    )
+    dup_thread.start()
 
     listeners = []
     match_database = MatchDatabase(query_end_fraction)
@@ -696,8 +706,8 @@ def run(
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    if engine == "batch" and reference_index.duplication_detector is not None:
-        reference_index.duplication_detector.ensure_detected()  # avoid lazy-init races
+    if reference_index.duplication_detector is not None:
+        dup_thread.join()  # detection complete before any worker consults it
 
     # --num-threads scales the number of batches in flight (the reference's
     # worker-count knob, Mapper.java:154); two is the floor so host candidate

@@ -18,6 +18,17 @@ class ReferenceAlignmentCounter:
 
     def add_alignments(self, results: list[QueryAlignments]) -> None:
         for query_alignments in results:
+            # columnar fast path: lazy emission rows carry the ref Sequence
+            rows = getattr(query_alignments, "rows", None)
+            if rows is not None and query_alignments.alignments_per_component is None:
+                if rows:
+                    srcs = {
+                        r[1].path if r[1].path is not None else r[1].name
+                        for r in rows
+                    }
+                    key = tuple(sorted(srcs))
+                    self.counts[key] = self.counts.get(key, 0) + 1
+                continue
             sources: set[str] = set()
             for component in query_alignments.get_alignments():
                 for choice in component:

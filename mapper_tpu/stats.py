@@ -52,6 +52,16 @@ class AlignmentCounter:
     def add_alignments(self, results: list[QueryAlignments]) -> None:
         for query_alignments in results:
             self.num_queries += 1
+            # columnar fast path: lazy clean-ungapped single-component rows
+            rows = getattr(query_alignments, "rows", None)
+            if rows is not None and query_alignments.alignments_per_component is None:
+                if rows:
+                    self.num_aligned_queries += 1
+                    self.total_aligned_query_length += (
+                        query_alignments.get_query_length(0)
+                    )
+                    self.total_aligned_penalty += rows[0][3]
+                continue
             aligned = False
             for i, options in enumerate(query_alignments.get_alignments()):
                 if not options:
@@ -93,6 +103,20 @@ class PenaltySummarizer:
 
     def add_alignments(self, results: list[QueryAlignments]) -> None:
         for query_alignments in results:
+            # columnar fast path: lazy clean-ungapped emissions carry the
+            # penalty in their rows — no need to build the object tree
+            rows = getattr(query_alignments, "rows", None)
+            if rows is not None and query_alignments.alignments_per_component is None:
+                if rows:
+                    penalty = rows[0][3]
+                    query_length = query_alignments.get_query_length(0)
+                    max_allowed = query_length * self.parameters.max_error_rate
+                    if max_allowed == 0:
+                        max_allowed = 1
+                    bin_index = int(penalty / max_allowed * len(self.counts))
+                    if bin_index < len(self.counts):
+                        self.counts[bin_index] += 1
+                continue
             for i, options in enumerate(query_alignments.get_alignments()):
                 if not options:
                     continue
@@ -117,6 +141,13 @@ class IndelSummarizer:
 
     def add_alignments(self, results: list[QueryAlignments]) -> None:
         for query_alignments in results:
+            # columnar fast path: lazy emissions are single-block ungapped
+            # rows by construction — zero indels, nothing to count
+            if (
+                getattr(query_alignments, "rows", None) is not None
+                and query_alignments.alignments_per_component is None
+            ):
+                continue
             for options in query_alignments.get_alignments():
                 if not options:
                     continue
