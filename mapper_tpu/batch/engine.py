@@ -1390,7 +1390,16 @@ class BatchAligner:
         # =0 forces it).  Exact scores only strengthen the decision gates:
         # every uncertain read already routes to the exact drivers, and the
         # engine-vs-worker agreement fuzz pins output identity either way.
-        if self.mesh is None and os.environ.get("MAPPER_TPU_HOST_SCORING", "1") != "0":
+        # long reads flip the economics back: the native path runs FULL
+        # exact local_align (O(n*w) cells) where the kernel is banded
+        # (O(n*band)) — at 150 bp a window is ~42k cells (host wins vs the
+        # ~100 ms round), at 1500 bp splitter chunks ~2.4M cells/row (the
+        # device wins: measured c5 38.5 s device vs 50.3 s host)
+        if (
+            self.mesh is None
+            and os.environ.get("MAPPER_TPU_HOST_SCORING", "1") != "0"
+            and int(batch.lengths.max(initial=0)) <= HOST_SCORING_MAX_LEN
+        ):
             sctx = self._dispatch_scores_native(
                 seqs, batch, table, n_per_cand, win_start_local, win_end_local,
                 valid, at_edge, in_contig, win_start_global, w_len, lane, lq,
@@ -2420,6 +2429,9 @@ def _tables(database):
 
     return _strand_tables(database)
 
+
+# single-chip host-scoring read-length ceiling (see _dispatch_scores)
+HOST_SCORING_MAX_LEN = int(os.environ.get("MAPPER_TPU_HOST_SCORING_MAX_LEN", "600"))
 
 _CONCAT_BUCKET = 1 << 20
 

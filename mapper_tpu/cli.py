@@ -494,12 +494,18 @@ def run(
             queries = _PeekedQueries(queries, peeked)
             from mapper_tpu.batch.engine import start_scoring_warmup
 
+            # the splitter already applied: peeked builders carry the
+            # engine-visible (post-split) lengths
+            peek_len = max(b.get_length() for b in peeked.builders)
+            from mapper_tpu.batch.engine import HOST_SCORING_MAX_LEN
+
             scoring_warmup = start_scoring_warmup(
                 sequence_database,
                 parameters,
-                max(b.get_length() for b in peeked.builders),
+                peek_len,
                 paired=len(peeked.builders) == 2,
-                skip_single_device=host_scoring,
+                # long reads keep the device path (engine gate mirrors this)
+                skip_single_device=host_scoring and peek_len <= HOST_SCORING_MAX_LEN,
             )
 
     dir_cache = DirCache(cache_dir) if cache_dir else None
