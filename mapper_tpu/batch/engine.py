@@ -225,6 +225,11 @@ class BatchAligner:
                     if not getattr(paired_results[local], "via_exact", False):
                         self.stats_batch_resolved += 1
 
+        # NOTE: a two-thread exact-fallback variant (own worker per thread,
+        # longest read first to absorb lazy index growth) measured SLOWER on
+        # the 2-vCPU host (0.73-0.79 s vs 0.67-0.71 s per hard 4096-pass):
+        # the engine's OpenMP stages already saturate both cores and the
+        # Python halves of worker.align contend on the GIL.  Serial it stays.
         for i in fallback_indices:
             self.stats_fallback_reads += 1
             results[i] = self.fallback_worker.align(queries[i])
