@@ -415,8 +415,12 @@ class BatchAligner:
         skip = geom["in_contig"] & ~geom["at_edge"] & (u_used <= min_indel)
         dev_rows = np.nonzero(~skip)[0]
         if dev_rows.shape[0]:
+            dev_sub = subtable.take(dev_rows)
             sctx = self._dispatch_scores(
-                components, batch, subtable.take(dev_rows), shift_per_component, band
+                components, batch, dev_sub, shift_per_component, band,
+                # each mate may spend up to the pair budget (exact algebra
+                # re-allocation) — the scoring DP must not cap at mate level
+                budget_len=total_len[dev_sub.read_id // 2],
             )
         else:
             sctx = None
@@ -1351,11 +1355,13 @@ class BatchAligner:
             & (table.offset + n_per_cand <= contig_len),
         }
 
-    def _dispatch_scores(self, seqs, batch, table, shift, band):
+    def _dispatch_scores(self, seqs, batch, table, shift, band, budget_len=None):
         """Candidate-window construction + asynchronous device scoring for one
         candidate table.  `seqs` holds one Sequence per batch read id; `shift`
-        is the per-read half-window (int64[num_reads]).  Returns a context to
-        be materialized by _finish_scores."""
+        is the per-read half-window (int64[num_reads]); `budget_len` optionally
+        carries a per-table-row effective budget length (pair total length for
+        paired rows) consumed by the native scoring branch.  Returns a context
+        to be materialized by _finish_scores."""
         p = self.parameters
         num_reads = batch.num_reads
         seq_starts = self.seq_db.starts
@@ -1408,6 +1414,7 @@ class BatchAligner:
             sctx = self._dispatch_scores_native(
                 seqs, batch, table, n_per_cand, win_start_local, win_end_local,
                 valid, at_edge, in_contig, win_start_global, w_len, lane, lq,
+                budget_len=budget_len,
             )
             if sctx is not None:
                 return sctx
@@ -1521,6 +1528,7 @@ class BatchAligner:
     def _dispatch_scores_native(
         self, seqs, batch, table, n_per_cand, win_start_local, win_end_local,
         valid, at_edge, in_contig, win_start_global, w_len, lane, lq,
+        budget_len=None,
     ):
         """Score the candidate windows with the OpenMP native exact DP
         (dp.cpp::mapper_local_align_batch) instead of a device program:
@@ -1575,7 +1583,14 @@ class BatchAligner:
                 wbuf[w_off[j] : w_off[j] + w_run[j]] = w_mat[j, : w_run[j]]
 
             nf = n_run.astype(np.float64)
-            max_allowed = np.nextafter(nf * p.max_error_rate, np.inf)
+            # the DP budget: per-read for single-end rows; the PAIR-level
+            # allowance for paired rows (budget_len) — the exact pair algebra
+            # can grant one mate nearly the whole pair budget
+            # (QueryMatch_Aligner.java:207-239), and a mate-level cap here
+            # would inf-out combos the worker accepts (measured: 7/4096 hard
+            # pairs emitted empty).  The kernel's scores were budget-free.
+            bf = nf if budget_len is None else budget_len[run].astype(np.float64)
+            max_allowed = np.nextafter(bf * p.max_error_rate, np.inf)
             rates = max_allowed / nf
             bump = rates * nf < max_allowed
             rates[bump] = np.nextafter(rates[bump], np.inf)

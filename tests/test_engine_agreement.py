@@ -380,3 +380,66 @@ def test_batch_engine_alignment_cache():
     assert cached_engine.cache.get_usage() > 0
     for got in outputs:
         assert [summarize(r) for r in got] == expected
+
+
+def test_paired_mate_spends_pair_budget():
+    """One mate over its own per-mate budget but within the pair budget:
+    the exact algebra re-allocates (QueryMatch_Aligner.java:207-239), so the
+    batch engine must not cap the scoring DP at mate level.  Regression for
+    the host-scoring bug where such pairs emitted affirmatively empty
+    results (7/4096 on the hard-PE bench) while the worker aligned them."""
+    rng = np.random.default_rng(17)
+    bases = "ACGT"
+    ref_text = "".join(bases[int(b)] for b in rng.integers(0, 4, size=20000))
+    params = AlignmentParameters.defaults()
+    index = Api.new_database({"chr1": ref_text})
+
+    def rc(t):
+        return basepairs.decode(basepairs.reverse_complement(basepairs.encode(t)))
+
+    queries = []
+    for i in range(8):
+        pos = 1000 + 1700 * i
+        inner = 100
+        frag = 300 + inner
+        m1 = list(ref_text[pos : pos + 150])  # clean mate: penalty 0
+        # gapped mate: 3 bp deletion (penalty 3.3) + 13 SNPs = 16.3, which
+        # exceeds the per-mate budget (15) but fits the pair budget (30).
+        # Its UNGAPPED penalty is finite but far over budget (frameshifted
+        # tail), reproducing the finite-best + inf-banded empty-emit bug.
+        m2 = list(ref_text[pos + frag - 153 : pos + frag])
+        del m2[75:78]
+        for j in range(3, 70, 6):
+            cur = m2[j]
+            m2[j] = bases[(bases.index(cur) + 1) % 4]
+        for j in range(85, 95, 6):
+            cur = m2[j]
+            m2[j] = bases[(bases.index(cur) + 1) % 4]
+        queries.append(
+            Query(
+                [
+                    Sequence.from_text(f"b{i}/1", "".join(m1)),
+                    Sequence.from_text(f"b{i}/2", rc("".join(m2))),
+                ],
+                expected_inner_distance=inner,
+                spacing_deviation_per_unit_penalty=50,
+            )
+        )
+
+    engine = BatchAligner(index, params)
+    worker = AlignerWorker(index, params)
+    results = engine.process_batch(queries, notify=False)
+    for q, r in zip(queries, results):
+        w = worker.align(q)
+        assert any(w.get_alignments()), "fixture must be worker-alignable"
+        got = sorted(
+            (a.get_penalty(), tuple(c.content_key() for c in a.get_components()))
+            for comp in r.get_alignments()
+            for a in comp
+        )
+        want = sorted(
+            (a.get_penalty(), tuple(c.content_key() for c in a.get_components()))
+            for comp in w.get_alignments()
+            for a in comp
+        )
+        assert got == want
