@@ -1583,18 +1583,15 @@ class BatchAligner:
                 wbuf[w_off[j] : w_off[j] + w_run[j]] = w_mat[j, : w_run[j]]
 
             nf = n_run.astype(np.float64)
-            # the DP budget: per-read for single-end rows; the PAIR-level
-            # allowance for paired rows (budget_len) — the exact pair algebra
-            # can grant one mate nearly the whole pair budget
-            # (QueryMatch_Aligner.java:207-239), and a mate-level cap here
-            # would inf-out combos the worker accepts (measured: 7/4096 hard
-            # pairs emitted empty).  The kernel's scores were budget-free.
-            bf = nf if budget_len is None else budget_len[run].astype(np.float64)
-            max_allowed = np.nextafter(bf * p.max_error_rate, np.inf)
+            max_allowed = np.nextafter(nf * p.max_error_rate, np.inf)
             rates = max_allowed / nf
             bump = rates * nf < max_allowed
             rates[bump] = np.nextafter(rates[bump], np.inf)
 
+            rs_loc = win_start_local[run].astype(np.int64)
+            pred = np.clip(lane[run], 0, np.maximum(w_run - 1, 0)).astype(np.int32)
+            at_s = (win_start_local[run] == 0).astype(np.uint8)
+            at_e = (win_end_local[run] == contig_len[run]).astype(np.uint8)
             out = native_local_align_batch(
                 qbuf,
                 q_off,
@@ -1602,10 +1599,10 @@ class BatchAligner:
                 wbuf,
                 w_off,
                 w_run,
-                win_start_local[run].astype(np.int64),
-                np.clip(lane[run], 0, np.maximum(w_run - 1, 0)).astype(np.int32),
-                (win_start_local[run] == 0).astype(np.uint8),
-                (win_end_local[run] == contig_len[run]).astype(np.uint8),
+                rs_loc,
+                pred,
+                at_s,
+                at_e,
                 np.ones(run.shape[0], dtype=np.uint8),
                 rates,
                 p,
@@ -1616,6 +1613,46 @@ class BatchAligner:
             if np.any(status == -2):
                 return None  # native bailed on a problem: use the device path
             banded[run] = np.where(status >= 0, total, np.inf)
+
+            # second pass for paired rows: the exact pair algebra can grant
+            # one mate nearly the whole PAIR budget
+            # (QueryMatch_Aligner.java:207-239), and the mate-level cap above
+            # would inf-out combos the worker accepts (measured: 7/4096 hard
+            # pairs emitted affirmatively empty).  Only rows the first pass
+            # rejected (-1) rerun with the pair-level budget — any alignment
+            # the first pass FOUND is the global optimum for larger budgets
+            # too (an alignment with total <= small budget lies inside the
+            # small search space by the extension-cap algebra), so the cheap
+            # pass answers for the overwhelming clean majority.
+            if budget_len is not None:
+                bf = budget_len[run].astype(np.float64)
+                redo = np.nonzero((status == -1) & (bf > nf))[0]
+                if redo.shape[0]:
+                    max2 = np.nextafter(bf[redo] * p.max_error_rate, np.inf)
+                    rates2 = max2 / nf[redo]
+                    bump2 = rates2 * nf[redo] < max2
+                    rates2[bump2] = np.nextafter(rates2[bump2], np.inf)
+                    out2 = native_local_align_batch(
+                        qbuf,
+                        q_off[redo],
+                        n_run[redo],
+                        wbuf,
+                        w_off[redo],
+                        w_run[redo],
+                        rs_loc[redo],
+                        pred[redo],
+                        at_s[redo],
+                        at_e[redo],
+                        np.ones(redo.shape[0], dtype=np.uint8),
+                        rates2,
+                        p,
+                    )
+                    if out2 is None:
+                        return None
+                    s2, _, _, t2, _ = out2
+                    if np.any(s2 == -2):
+                        return None
+                    banded[run[redo]] = np.where(s2 >= 0, t2, np.inf)
             native_raw = {
                 # per-slot raw results, reusable as gap-finalization wave-1
                 # answers when the window geometry matches (subtable row ->
